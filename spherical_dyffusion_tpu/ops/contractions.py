@@ -1,0 +1,84 @@
+"""Complex spectral-weight contractions for the SFNO filter.
+
+TPU-native equivalents of the reference's torch.jit contraction kernels
+(src/models/sfno/contractions.py:18-193). Channels-last spectral layout
+``(..., l, m, c_in)``; weights are stored as real (..., 2) pairs exactly like
+the reference's ``nn.Parameter(torch.randn(*shape, 2))`` so that checkpoint
+conversion is a pure reshape.
+
+Operator types (reference s2convolutions.py:126-133):
+* ``diagonal``: per-(l, m) full channel mixing  — weight (c_in, c_out, l, m, 2)
+* ``dhconv``:   per-l channel mixing (Driscoll-Healy convolution theorem)
+                — weight (c_in, c_out, l, 2)
+Separable variants drop the c_out axis and multiply elementwise per channel.
+
+The contraction is the MXU hot spot of the whole model: for ``dhconv`` it is a
+single batched complex matmul with batch dim l, contracting c_in -> c_out.
+Complex arithmetic is decomposed explicitly into real matmuls so that XLA maps
+it onto the MXU without materializing complex intermediates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["contract_dhconv", "contract_diagonal", "contract"]
+
+
+def _as_complex(w: jax.Array) -> jax.Array:
+    """(..., 2) real pair -> complex."""
+    return jax.lax.complex(w[..., 0], w[..., 1])
+
+
+def contract_dhconv(x: jax.Array, w: jax.Array, separable: bool = False) -> jax.Array:
+    """Driscoll-Healy conv: x (..., l, m, ci), w (ci[, co], l, 2) -> (..., l, m, co).
+
+    Equivalent of reference ``_contract_dhconv`` (contractions.py: 'bixl,iol->boxl'
+    in NCHW; ours is channels-last).
+    """
+    wr, wi = w[..., 0], w[..., 1]
+    xr, xi = x.real, x.imag
+    if separable:
+        # w: (ci, l) -> broadcast over m
+        wr_b = jnp.transpose(wr)[..., :, None, :]  # (l, 1, ci)
+        wi_b = jnp.transpose(wi)[..., :, None, :]
+        yr = xr * wr_b - xi * wi_b
+        yi = xr * wi_b + xi * wr_b
+    else:
+        # batched matmul over l: (..., l, m, ci) x (ci, co, l) -> (..., l, m, co)
+        def mm(a, ww):
+            return jnp.einsum("...lmi,iol->...lmo", a, ww,
+                              preferred_element_type=jnp.float32)
+        yr = mm(xr, wr) - mm(xi, wi)
+        yi = mm(xr, wi) + mm(xi, wr)
+    return jax.lax.complex(yr, yi)
+
+
+def contract_diagonal(x: jax.Array, w: jax.Array, separable: bool = False) -> jax.Array:
+    """Per-(l, m) weights: x (..., l, m, ci), w (ci[, co], l, m, 2) -> (..., l, m, co).
+
+    Equivalent of reference ``_contract_diagonal`` ('bixy,ioxy->boxy' in NCHW).
+    """
+    wr, wi = w[..., 0], w[..., 1]
+    xr, xi = x.real, x.imag
+    if separable:
+        wr_b = jnp.moveaxis(wr, 0, -1)  # (l, m, ci)
+        wi_b = jnp.moveaxis(wi, 0, -1)
+        yr = xr * wr_b - xi * wi_b
+        yi = xr * wi_b + xi * wr_b
+    else:
+        def mm(a, ww):
+            return jnp.einsum("...lmi,iolm->...lmo", a, ww,
+                              preferred_element_type=jnp.float32)
+        yr = mm(xr, wr) - mm(xi, wi)
+        yi = mm(xr, wi) + mm(xi, wr)
+    return jax.lax.complex(yr, yi)
+
+
+def contract(x: jax.Array, w: jax.Array, operator_type: str, separable: bool = False) -> jax.Array:
+    if operator_type == "dhconv":
+        return contract_dhconv(x, w, separable)
+    if operator_type == "diagonal":
+        return contract_diagonal(x, w, separable)
+    raise ValueError(f"Unsupported operator_type {operator_type!r}")

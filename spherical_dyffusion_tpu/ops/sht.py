@@ -1,0 +1,107 @@
+"""Real spherical harmonic transforms (SHT) for TPU, channels-last.
+
+TPU-native replacement for torch_harmonics' ``RealSHT``/``InverseRealSHT``
+(used by the reference at src/models/sfno/sfnonet.py:537-554). The transform
+is expressed as XLA-friendly primitives that map straight onto the hardware:
+
+* longitude stage: batched real FFT (``jnp.fft.rfft``) — XLA's TPU FFT;
+* latitude stage: associated-Legendre contraction, an einsum that lowers to
+  one batched MXU matmul per azimuthal order m.
+
+Layout is channels-last ``(..., nlat, nlon, C)`` so that the surrounding
+model's 1x1 convolutions/MLPs keep channels in the minor (lane) dimension;
+spectral space is ``(..., lmax, mmax, C)`` complex64.
+
+All transforms are performed in float32 (the reference likewise forces fp32
+around the transforms under autocast, s2convolutions.py:164-191).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .quadrature import sht_matrices
+
+__all__ = ["RealSHT", "InverseRealSHT"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RealSHT:
+    """Forward (analysis) real SHT: grid -> spectral.
+
+    Parameters mirror torch_harmonics: ``nlat, nlon`` grid size, optional
+    ``lmax/mmax`` truncation, ``grid`` in {"equiangular", "legendre-gauss",
+    "equiangular-cell-centered"}.
+    """
+
+    nlat: int
+    nlon: int
+    lmax: int
+    mmax: int
+    grid: str = "equiangular"
+
+    # populated in __post_init__; excluded from equality/hash
+    _analysis: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
+
+    def __post_init__(self):
+        analysis, _ = sht_matrices(self.nlat, self.grid, self.lmax, self.mmax)
+        object.__setattr__(self, "_analysis", jnp.asarray(analysis, dtype=jnp.float32))
+
+    @staticmethod
+    def create(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None,
+               grid: str = "equiangular") -> "RealSHT":
+        lmax = lmax if lmax is not None else nlat
+        mmax = mmax if mmax is not None else nlon // 2 + 1
+        return RealSHT(nlat, nlon, lmax, mmax, grid)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (..., nlat, nlon, C) real -> (..., lmax, mmax, C) complex64."""
+        x = x.astype(jnp.float32)
+        # longitude FFT with 1/nlon (norm="forward"), truncate to mmax
+        xf = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
+        # latitude Legendre analysis: one MXU matmul batched over m
+        # (..., h, m, c) x (h, l, m) -> (..., l, m, c)
+        out = jnp.einsum("...hmc,hlm->...lmc", xf, self._analysis.astype(jnp.complex64))
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class InverseRealSHT:
+    """Inverse (synthesis) real SHT: spectral -> grid."""
+
+    nlat: int
+    nlon: int
+    lmax: int
+    mmax: int
+    grid: str = "equiangular"
+
+    _synthesis: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
+
+    def __post_init__(self):
+        _, synthesis = sht_matrices(self.nlat, self.grid, self.lmax, self.mmax)
+        object.__setattr__(self, "_synthesis", jnp.asarray(synthesis, dtype=jnp.float32))
+
+    @staticmethod
+    def create(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None,
+               grid: str = "equiangular") -> "InverseRealSHT":
+        lmax = lmax if lmax is not None else nlat
+        mmax = mmax if mmax is not None else nlon // 2 + 1
+        return InverseRealSHT(nlat, nlon, lmax, mmax, grid)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (..., lmax, mmax, C) complex -> (..., nlat, nlon, C) real float32."""
+        x = x.astype(jnp.complex64)
+        # latitude synthesis
+        xf = jnp.einsum("...lmc,hlm->...hmc", x, self._synthesis.astype(jnp.complex64))
+        # pad azimuthal modes up to nlon//2+1 if truncated, then Hermitian inverse FFT
+        full_m = self.nlon // 2 + 1
+        if self.mmax < full_m:
+            pad = [(0, 0)] * (xf.ndim - 2) + [(0, full_m - self.mmax), (0, 0)]
+            xf = jnp.pad(xf, pad)
+        out = jnp.fft.irfft(xf, n=self.nlon, axis=-2, norm="forward")
+        return out

@@ -1,0 +1,129 @@
+"""Golden tests for the spherical harmonic transform core.
+
+The reference has no tests (SURVEY.md §4); we pin numerics via:
+1. exact round-trip on the legendre-gauss grid (quadrature-exact),
+2. near-exact round-trip on the equiangular (clenshaw-curtiss) grid,
+3. analysis of analytic spherical harmonics built with scipy,
+4. quadrature sanity (weights integrate polynomials exactly).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.special as sps
+
+from spherical_dyffusion_tpu.ops import InverseRealSHT, RealSHT
+from spherical_dyffusion_tpu.ops.quadrature import (
+    clenshaw_curtiss_nodes_weights,
+    grid_nodes_weights,
+    legendre_gauss_nodes_weights,
+    precompute_legendre,
+)
+
+
+def test_legendre_gauss_weights_integrate_polynomials():
+    x, w = legendre_gauss_nodes_weights(8)
+    # exact for degree <= 2n-1
+    for deg in range(0, 16):
+        est = np.sum(w * x**deg)
+        exact = 0.0 if deg % 2 else 2.0 / (deg + 1)
+        assert abs(est - exact) < 1e-12, deg
+
+
+def test_clenshaw_curtiss_weights_integrate_polynomials():
+    n = 9
+    x, w = clenshaw_curtiss_nodes_weights(n)
+    assert abs(np.sum(w) - 2.0) < 1e-12
+    # CC with n points is exact for degree <= n-1
+    for deg in range(0, n):
+        est = np.sum(w * x**deg)
+        exact = 0.0 if deg % 2 else 2.0 / (deg + 1)
+        assert abs(est - exact) < 1e-10, deg
+
+
+def test_normalized_legendre_matches_scipy():
+    nlat, lmax, mmax = 16, 8, 8
+    x, _ = legendre_gauss_nodes_weights(nlat)
+    pct = precompute_legendre(lmax, mmax, x)
+    for l in range(lmax):
+        for m in range(min(l + 1, mmax)):
+            # scipy lpmv includes Condon-Shortley phase
+            norm = np.sqrt((2 * l + 1) / (4 * np.pi) * sps.gamma(l - m + 1) / sps.gamma(l + m + 1))
+            expected = norm * sps.lpmv(m, l, x)
+            np.testing.assert_allclose(pct[:, l, m], expected, atol=1e-10, err_msg=f"l={l} m={m}")
+
+
+def test_orthonormality_on_gauss_grid():
+    nlat = 32
+    x, w = legendre_gauss_nodes_weights(nlat)
+    pct = precompute_legendre(nlat, nlat, x)
+    for m in [0, 1, 5]:
+        P = pct[:, :, m]  # (nlat, lmax)
+        gram = 2 * np.pi * (P * w[:, None]).T @ P
+        ls = np.arange(m, nlat)
+        np.testing.assert_allclose(gram[np.ix_(ls, ls)], np.eye(len(ls)), atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "grid,lmax,tol",
+    [
+        # gauss quadrature: exact at full band
+        ("legendre-gauss", None, 5e-6),
+        # clenshaw-curtiss: exact only when truncated to lmax <= nlat/2
+        # (full-band aliasing into high l is inherent to the grid and matches
+        # torch_harmonics behavior)
+        ("equiangular", 12, 5e-6),
+        ("equiangular", None, 1e-1),
+    ],
+)
+def test_roundtrip_grid_to_grid(grid, lmax, tol):
+    nlat, nlon = 24, 48
+    sht = RealSHT.create(nlat, nlon, lmax=lmax, grid=grid)
+    isht = InverseRealSHT.create(nlat, nlon, lmax=lmax, grid=grid)
+    rng = np.random.default_rng(0)
+    # band-limited random field: synthesize from random coefficients first
+    coeffs = rng.standard_normal((sht.lmax, sht.mmax, 3)) + 1j * rng.standard_normal((sht.lmax, sht.mmax, 3))
+    # only l >= m nonzero; m=0 must be real for a real field
+    l_idx = np.arange(sht.lmax)[:, None]
+    m_idx = np.arange(sht.mmax)[None, :]
+    coeffs = np.where((m_idx > l_idx)[..., None], 0.0, coeffs)
+    coeffs[:, 0, :] = coeffs[:, 0, :].real
+    # keep away from the very highest degrees where equiangular quadrature is inexact
+    coeffs[nlat - 4 :] = 0.0
+    f = np.asarray(isht(jnp.asarray(coeffs, jnp.complex64)))
+    f2 = np.asarray(isht(sht(jnp.asarray(f))))
+    assert np.max(np.abs(f - f2)) < tol * max(1.0, np.max(np.abs(f)))
+
+
+def test_analysis_of_analytic_harmonic():
+    """SHT of Y_l^m must give a delta at (l, m)."""
+    nlat, nlon = 32, 64
+    sht = RealSHT.create(nlat, nlon, grid="legendre-gauss")
+    x, _ = grid_nodes_weights("legendre-gauss", nlat)
+    theta = np.arccos(x)
+    phi = 2 * np.pi * np.arange(nlon) / nlon
+    for l, m in [(0, 0), (3, 0), (5, 2), (10, 7)]:
+        norm = np.sqrt((2 * l + 1) / (4 * np.pi) * sps.gamma(l - m + 1) / sps.gamma(l + m + 1))
+        plm = norm * sps.lpmv(m, l, x)
+        if m == 0:
+            f = plm[:, None] * np.ones_like(phi)[None, :]
+        else:
+            # real field: Y + conj(Y) = 2 Re(Y)
+            f = 2 * plm[:, None] * np.cos(m * phi)[None, :]
+        out = np.asarray(sht(jnp.asarray(f[..., None], jnp.float32)))[..., 0]
+        expected = np.zeros_like(out)
+        expected[l, m] = 1.0 if m == 0 else 1.0  # coefficient of the m>=0 half-spectrum
+        np.testing.assert_allclose(out.real, expected, atol=2e-5)
+        np.testing.assert_allclose(out.imag, 0.0, atol=2e-5)
+
+
+def test_sht_shapes_and_truncation():
+    sht = RealSHT.create(12, 24, lmax=8, mmax=9, grid="equiangular")
+    isht = InverseRealSHT.create(12, 24, lmax=8, mmax=9, grid="equiangular")
+    x = jnp.ones((2, 12, 24, 5))
+    spec = sht(x)
+    assert spec.shape == (2, 8, 9, 5)
+    assert spec.dtype == jnp.complex64
+    out = isht(spec)
+    assert out.shape == (2, 12, 24, 5)
+    assert out.dtype == jnp.float32
