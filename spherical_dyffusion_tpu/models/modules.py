@@ -1,0 +1,161 @@
+"""Shared neural-net building blocks (channels-last, TPU layout).
+
+TPU-native equivalents of the reference's src/models/modules/* and the
+norm/MLP pieces of src/models/sfno/layers.py. All "1x1 convolutions" are
+``nn.Dense`` over the trailing channel axis — on TPU that is a single MXU
+matmul with channels in the lane dimension.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "InstanceNorm2d",
+    "SpatialLayerNorm",
+    "MLP2d",
+    "SinusoidalTimeEmbedding",
+    "TimeEmbedMLP",
+    "DropPath",
+    "get_activation",
+]
+
+
+def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
+    acts = {
+        "gelu": nn.gelu,
+        "relu": nn.relu,
+        "silu": nn.silu,
+        "tanh": jnp.tanh,
+    }
+    if name not in acts:
+        raise ValueError(f"Unknown activation {name!r}")
+    return acts[name]
+
+
+class InstanceNorm2d(nn.Module):
+    """Per-sample, per-channel normalization over the spatial dims.
+
+    Equivalent of the reference's ``nn.InstanceNorm2d(affine=True, eps=1e-6,
+    track_running_stats=False)`` (sfnonet.py:640-647), in (B, H, W, C) layout.
+    Under spatial (h/w mesh-axis) sharding the mean/var reductions become XLA
+    partial reductions + psum automatically via pjit — no DistributedInstanceNorm
+    class is needed.
+    """
+
+    features: int
+    eps: float = 1e-6
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        # biased variance, matching torch InstanceNorm
+        var = jnp.mean(jnp.square(x - mean), axis=(-3, -2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y * scale + bias
+        return y
+
+
+class SpatialLayerNorm(nn.Module):
+    """LayerNorm over the spatial dims with per-pixel affine params.
+
+    Equivalent of the reference's ``nn.LayerNorm(normalized_shape=(H, W))``
+    option (sfnonet.py:625-631): normalizes each (H, W) slice jointly and
+    applies per-(H, W) learned scale/bias shared across channels.
+    """
+
+    spatial_shape: Sequence[int]
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (..., H, W, C) — normalize jointly over (H, W) per channel slice
+        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(-3, -2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        h, w = self.spatial_shape
+        scale = self.param("scale", nn.initializers.ones, (h, w, 1))
+        bias = self.param("bias", nn.initializers.zeros, (h, w, 1))
+        return y * scale + bias
+
+
+class MLP2d(nn.Module):
+    """Pointwise 2-layer MLP (the reference's MLP of 1x1 convs, layers.py:53)."""
+
+    hidden_features: int
+    out_features: int
+    activation: str = "gelu"
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        act = get_activation(self.activation)
+        x = nn.Dense(self.hidden_features, kernel_init=nn.initializers.truncated_normal(0.02))(x)
+        x = act(x)
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, kernel_init=nn.initializers.truncated_normal(0.02))(x)
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x
+
+
+class SinusoidalTimeEmbedding(nn.Module):
+    """Transformer-style sinusoidal embedding of a scalar time.
+
+    Matches the reference SinusoidalPosEmb (modules/misc.py:21-33):
+    frequencies exp(-log(10000) * i / (half_dim - 1)).
+    """
+
+    dim: int
+
+    def __call__(self, t: jax.Array) -> jax.Array:
+        half = self.dim // 2
+        freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / (half - 1))
+        args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class TimeEmbedMLP(nn.Module):
+    """Sinusoidal embedding followed by a 2-layer MLP.
+
+    Matches reference ``get_time_embedder`` (modules/misc.py:132-147):
+    SinusoidalPosEmb(dim) -> Linear(dim, time_dim) -> GELU -> Linear(time_dim, time_dim).
+    """
+
+    time_dim: int
+    pos_emb_dim: int
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        emb = SinusoidalTimeEmbedding(self.pos_emb_dim)(t)
+        emb = nn.Dense(self.time_dim, kernel_init=nn.initializers.truncated_normal(0.02))(emb)
+        emb = nn.gelu(emb)
+        emb = nn.Dense(self.time_dim, kernel_init=nn.initializers.truncated_normal(0.02))(emb)
+        return emb
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (reference modules/drop_path.py:25): drops the entire
+    residual branch per sample with probability ``rate``."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, mask_shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))

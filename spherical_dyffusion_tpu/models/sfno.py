@@ -1,0 +1,427 @@
+"""Spherical Fourier Neural Operator — TPU-native, channels-last Flax model.
+
+Re-design of the reference SFNO (src/models/sfno/sfnonet.py:340-841 and
+s2convolutions.py:45-193) for JAX/XLA on TPU:
+
+* layout is (B, H, W, C): every pointwise conv is an MXU matmul over the lane
+  (channel) dimension; the SHT Legendre stage is a batched MXU matmul;
+* transforms (SHT/FFT) are precomputed constants, run in float32 (the
+  reference likewise pins fp32 around the transforms);
+* the spectral dhconv/diagonal contraction is an explicit real-decomposed
+  batched matmul (ops/contractions.py);
+* gradient checkpointing maps to ``nn.remat`` over blocks;
+* no "Distributed*" twin classes: spatial/channel sharding is applied from the
+  outside via pjit sharding constraints (see parallel/).
+
+Structure parity with the reference (sfnonet.py):
+  encoder (1x1 MLP) -> +pos_embed -> N x FNO block -> big-skip concat -> decoder
+with each block = norm0 -> (time scale-shift) -> spectral filter -> inner skip
+-> act -> norm1 -> MLP -> drop-path -> outer skip (on the filter residual).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import InverseRealSHT, RealSHT, RealFFT2, InverseRealFFT2, contract
+from .modules import (
+    DropPath,
+    InstanceNorm2d,
+    MLP2d,
+    SpatialLayerNorm,
+    TimeEmbedMLP,
+    get_activation,
+)
+
+__all__ = ["SFNOConfig", "SFNO"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SFNOConfig:
+    """Static configuration of the SFNO (mirrors reference configs/model/sfno.yaml)."""
+
+    img_shape: Tuple[int, int] = (180, 360)
+    in_chans: int = 35
+    out_chans: int = 35
+    embed_dim: int = 256
+    num_layers: int = 8
+    scale_factor: int = 1
+    spectral_transform: str = "sht"  # "sht" | "fft"
+    filter_type: str = "linear"  # "linear" | "non-linear"
+    operator_type: str = "dhconv"  # "dhconv" | "diagonal"
+    separable: bool = False
+    mlp_ratio: float = 2.0
+    use_mlp: bool = True
+    activation_function: str = "gelu"
+    encoder_layers: int = 1
+    pos_embed: bool = True
+    big_skip: bool = True
+    normalization_layer: str = "instance_norm"  # "instance_norm" | "layer_norm" | "none"
+    hard_thresholding_fraction: float = 1.0
+    dropout_mlp: float = 0.0
+    dropout_filter: float = 0.0
+    pos_emb_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    checkpointing: int = 0  # 0: none, >=1: remat encoder/decoder, >=3: remat blocks
+    data_grid: str = "equiangular"  # grid of the data; model grid is legendre-gauss
+    # time conditioning (used when SFNO is a diffusion backbone)
+    with_time_emb: bool = False
+    time_dim_mult: int = 2
+    time_rescale: bool = False
+    time_scale_shift_before_filter: bool = True
+    min_time: float = 0.0
+    max_time: float = 1000.0
+    # spectral attention (filter_type == "non-linear")
+    spectral_layers: int = 3
+    complex_activation: str = "real"
+    # debug mode shrinks the model like the reference (sfnonet.py:468-471)
+    debug_mode: bool = False
+
+    def resolved(self) -> "SFNOConfig":
+        if self.debug_mode:
+            return dataclasses.replace(self, embed_dim=16, num_layers=2, debug_mode=False)
+        return self
+
+    @property
+    def model_shape(self) -> Tuple[int, int]:
+        return (
+            self.img_shape[0] // self.scale_factor,
+            self.img_shape[1] // self.scale_factor,
+        )
+
+    @property
+    def modes(self) -> Tuple[int, int]:
+        h, w = self.model_shape
+        return (
+            int(h * self.hard_thresholding_fraction),
+            int((w // 2 + 1) * self.hard_thresholding_fraction),
+        )
+
+
+def _build_transforms(cfg: SFNOConfig):
+    """Build (trans_down, itrans_up, trans, itrans): data-grid transforms for the
+    first/last block and model-grid (legendre-gauss) transforms for the inner
+    blocks, mirroring sfnonet.py:551-554."""
+    lmax, mmax = cfg.modes
+    H, W = cfg.img_shape
+    h, w = cfg.model_shape
+    if cfg.spectral_transform == "sht":
+        trans_down = RealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid)
+        itrans_up = InverseRealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid)
+        trans = RealSHT.create(h, w, lmax, mmax, grid="legendre-gauss")
+        itrans = InverseRealSHT.create(h, w, lmax, mmax, grid="legendre-gauss")
+    elif cfg.spectral_transform == "fft":
+        trans_down = RealFFT2.create(H, W, lmax, mmax)
+        itrans_up = InverseRealFFT2.create(H, W, lmax, mmax)
+        trans = RealFFT2.create(h, w, lmax, mmax)
+        itrans = InverseRealFFT2.create(h, w, lmax, mmax)
+    else:
+        raise ValueError(f"Unknown spectral transform {cfg.spectral_transform!r}")
+    return trans_down, itrans_up, trans, itrans
+
+
+class SpectralConvS2(nn.Module):
+    """Linear spectral filter: SHT -> per-mode weight -> ISHT (+ bias).
+
+    Mirrors reference SpectralConvS2 (s2convolutions.py:45-193). Returns
+    ``(filtered, residual)`` where residual is the input regridded through
+    ISHT(SHT(x)) when in/out grids differ, else the input itself.
+    """
+
+    forward_transform: Any
+    inverse_transform: Any
+    in_channels: int
+    out_channels: int
+    operator_type: str = "dhconv"
+    separable: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        dtype = x.dtype
+        lmax, mmax = self.forward_transform.lmax, self.forward_transform.mmax
+        scale = 1.0 / (self.in_channels * self.out_channels)
+        wshape = [self.in_channels]
+        if not self.separable:
+            wshape.append(self.out_channels)
+        wshape.append(lmax)
+        if self.operator_type == "diagonal":
+            wshape.append(mmax)
+        weight = self.param(
+            "weight",
+            nn.initializers.normal(stddev=scale),
+            tuple(wshape) + (2,),
+        )
+
+        residual = x
+        xs = self.forward_transform(x.astype(jnp.float32))
+        scale_residual = (
+            self.forward_transform.nlat != self.inverse_transform.nlat
+            or self.forward_transform.nlon != self.inverse_transform.nlon
+            or self.forward_transform.grid != self.inverse_transform.grid
+        )
+        if scale_residual:
+            residual = self.inverse_transform(xs).astype(dtype)
+
+        xs = contract(xs, weight, self.operator_type, self.separable)
+        out = self.inverse_transform(xs)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            out = out + bias
+        return out.astype(dtype), residual
+
+
+class SpectralAttentionS2(nn.Module):
+    """Non-linear spectral filter: complex MLP acting per spectral mode.
+
+    TPU-native counterpart of reference SpectralAttentionS2
+    (s2convolutions.py:279-436): an N-layer complex MLP with residual and a
+    complex activation, applied in SHT space, followed by ISHT.
+    """
+
+    forward_transform: Any
+    inverse_transform: Any
+    embed_dim: int
+    hidden_size_factor: float = 2.0
+    spectral_layers: int = 3
+    complex_activation: str = "real"
+    drop_rate: float = 0.0
+
+    def _complex_act(self, zr: jax.Array, zi: jax.Array):
+        if self.complex_activation == "real":
+            return nn.gelu(zr), zi
+        if self.complex_activation == "complex":
+            return nn.gelu(zr), nn.gelu(zi)
+        raise ValueError(f"Unknown complex activation {self.complex_activation!r}")
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        dtype = x.dtype
+        hidden = int(self.embed_dim * self.hidden_size_factor)
+        residual = x
+        xs = self.forward_transform(x.astype(jnp.float32))
+        scale_residual = (
+            self.forward_transform.nlat != self.inverse_transform.nlat
+            or self.forward_transform.nlon != self.inverse_transform.nlon
+            or self.forward_transform.grid != self.inverse_transform.grid
+        )
+        if scale_residual:
+            residual = self.inverse_transform(xs).astype(dtype)
+
+        zr, zi = xs.real, xs.imag
+        scale = 1.0 / (self.embed_dim * hidden) ** 0.5
+        dims = [self.embed_dim] + [hidden] * self.spectral_layers
+        for i in range(self.spectral_layers):
+            wr = self.param(f"w{i}_re", nn.initializers.normal(scale), (dims[i], dims[i + 1]))
+            wi = self.param(f"w{i}_im", nn.initializers.normal(scale), (dims[i], dims[i + 1]))
+            br = self.param(f"b{i}_re", nn.initializers.zeros, (dims[i + 1],))
+            bi = self.param(f"b{i}_im", nn.initializers.zeros, (dims[i + 1],))
+            zr, zi = (
+                zr @ wr - zi @ wi + br,
+                zr @ wi + zi @ wr + bi,
+            )
+            zr, zi = self._complex_act(zr, zi)
+        wr = self.param("wout_re", nn.initializers.normal(scale), (dims[-1], self.embed_dim))
+        wi = self.param("wout_im", nn.initializers.normal(scale), (dims[-1], self.embed_dim))
+        zr, zi = zr @ wr - zi @ wi, zr @ wi + zi @ wr
+        out = self.inverse_transform(jax.lax.complex(zr, zi))
+        return out.astype(dtype), residual
+
+
+class FNOBlock(nn.Module):
+    """One Fourier Neural Operator block (reference sfnonet.py:158-337)."""
+
+    cfg: SFNOConfig
+    forward_transform: Any
+    inverse_transform: Any
+    input_shape: Tuple[int, int]
+    output_shape: Tuple[int, int]
+    drop_path: float = 0.0
+
+    def _norm(self, name: str, shape: Tuple[int, int]):
+        cfg = self.cfg
+        if cfg.normalization_layer == "instance_norm":
+            return InstanceNorm2d(cfg.embed_dim, name=name)
+        if cfg.normalization_layer == "layer_norm":
+            return SpatialLayerNorm(shape, name=name)
+        if cfg.normalization_layer == "none":
+            return lambda x: x
+        raise ValueError(f"Unknown normalization {cfg.normalization_layer!r}")
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        time_emb: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        act = get_activation(cfg.activation_function)
+
+        x_norm = self._norm("norm0", self.input_shape)(x)
+
+        def time_scale_shift(h: jax.Array) -> jax.Array:
+            # reference FourierNeuralOperatorBlock.time_scale_shift (sfnonet.py:280-287)
+            emb = nn.silu(time_emb)
+            emb = nn.Dense(2 * cfg.embed_dim, name="time_mlp",
+                           kernel_init=nn.initializers.truncated_normal(0.02))(emb)
+            scale, shift = jnp.split(emb[:, None, None, :], 2, axis=-1)
+            return h * (scale + 1.0) + shift
+
+        if time_emb is not None and cfg.time_scale_shift_before_filter:
+            x_norm = time_scale_shift(x_norm)
+
+        if cfg.filter_type == "linear":
+            filt = SpectralConvS2(
+                self.forward_transform,
+                self.inverse_transform,
+                cfg.embed_dim,
+                cfg.embed_dim,
+                operator_type=cfg.operator_type,
+                separable=cfg.separable,
+                use_bias=True,
+                name="filter",
+            )
+        elif cfg.filter_type == "non-linear":
+            filt = SpectralAttentionS2(
+                self.forward_transform,
+                self.inverse_transform,
+                cfg.embed_dim,
+                hidden_size_factor=cfg.mlp_ratio,
+                spectral_layers=cfg.spectral_layers,
+                complex_activation=cfg.complex_activation,
+                drop_rate=cfg.dropout_filter,
+                name="filter",
+            )
+        else:
+            raise ValueError(f"Unknown filter type {cfg.filter_type!r}")
+
+        x_f, residual = filt(x_norm)
+
+        # inner skip: 1x1 conv on the filter residual (reference inner_skip="linear")
+        inner = nn.Dense(cfg.embed_dim, name="inner_skip",
+                         kernel_init=nn.initializers.truncated_normal(0.02))(residual)
+        x = x_f + inner
+
+        if cfg.filter_type == "linear":
+            x = act(x)
+
+        x = self._norm("norm1", self.output_shape)(x)
+
+        if time_emb is not None and not cfg.time_scale_shift_before_filter:
+            x = time_scale_shift(x)
+
+        if cfg.use_mlp:
+            x = MLP2d(
+                hidden_features=int(cfg.embed_dim * cfg.mlp_ratio),
+                out_features=cfg.embed_dim,
+                activation=cfg.activation_function,
+                drop_rate=cfg.dropout_mlp,
+                name="mlp",
+            )(x, deterministic=deterministic)
+
+        if self.drop_path > 0.0:
+            x = DropPath(self.drop_path)(x, deterministic=deterministic)
+
+        # outer skip: identity on the filter residual (reference outer_skip="identity")
+        return x + residual
+
+
+class SFNO(nn.Module):
+    """The full Spherical FNO backbone.
+
+    Call signature matches the reference BaseModel interface
+    ``(inputs, time, condition, static_condition) -> outputs`` with
+    channels-last tensors (B, H, W, C).
+    """
+
+    cfg: SFNOConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: jax.Array,
+        time: Optional[jax.Array] = None,
+        condition: Optional[jax.Array] = None,
+        static_condition: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg.resolved()
+        act = get_activation(cfg.activation_function)
+        trans_down, itrans_up, trans, itrans = _build_transforms(cfg)
+
+        # condition concat (reference _base_model.py:166-192)
+        conds = [c for c in (condition, static_condition) if c is not None]
+        x = jnp.concatenate([inputs] + conds, axis=-1) if conds else inputs
+        in_chans = x.shape[-1]
+
+        big_skip = x if cfg.big_skip else None
+
+        # encoder: Dense(+bias) -> act -> ... -> Dense(no bias)
+        for i in range(cfg.encoder_layers):
+            x = nn.Dense(cfg.embed_dim, name=f"encoder_{i}",
+                         kernel_init=nn.initializers.truncated_normal(0.02))(x)
+            x = act(x)
+        x = nn.Dense(cfg.embed_dim, use_bias=False, name="encoder_out",
+                     kernel_init=nn.initializers.truncated_normal(0.02))(x)
+
+        if cfg.pos_embed:
+            H, W = cfg.img_shape
+            pe = self.param(
+                "pos_embed", nn.initializers.truncated_normal(0.02), (1, H, W, cfg.embed_dim)
+            )
+            x = x + pe
+            if cfg.pos_emb_dropout > 0.0:
+                x = nn.Dropout(cfg.pos_emb_dropout)(x, deterministic=deterministic)
+
+        # time embedding (reference sfnonet.py:654-666, 775-785)
+        t_repr = None
+        if cfg.with_time_emb:
+            if time is None:
+                raise ValueError("cfg.with_time_emb=True but no time passed")
+            t = time.astype(jnp.float32)
+            if cfg.time_rescale:
+                scaler = 1000.0 / (cfg.max_time - cfg.min_time)
+                t = (t - cfg.min_time) * scaler
+            t_repr = TimeEmbedMLP(
+                time_dim=cfg.embed_dim * cfg.time_dim_mult,
+                pos_emb_dim=cfg.embed_dim,
+                name="time_emb",
+            )(t)
+
+        drop_rates = [
+            cfg.drop_path_rate * i / max(cfg.num_layers - 1, 1) for i in range(cfg.num_layers)
+        ]
+        for i in range(cfg.num_layers):
+            first = i == 0
+            last = i == cfg.num_layers - 1
+            block_cls = FNOBlock
+            if cfg.checkpointing >= 3:
+                block_cls = nn.remat(FNOBlock, static_argnums=(3,))
+            block = block_cls(
+                cfg,
+                trans_down if first else trans,
+                itrans_up if last else itrans,
+                input_shape=cfg.img_shape if first else cfg.model_shape,
+                output_shape=cfg.img_shape if last else cfg.model_shape,
+                drop_path=drop_rates[i],
+                name=f"block_{i}",
+            )
+            x = block(x, t_repr, deterministic)
+
+        if cfg.big_skip:
+            x = jnp.concatenate([x, big_skip], axis=-1)
+
+        # decoder head (reference get_head, sfnonet.py:734-744)
+        for i in range(cfg.encoder_layers):
+            x = nn.Dense(cfg.embed_dim, name=f"decoder_{i}",
+                         kernel_init=nn.initializers.truncated_normal(0.02))(x)
+            x = act(x)
+        x = nn.Dense(cfg.out_chans, use_bias=False, name="decoder_out",
+                     kernel_init=nn.initializers.truncated_normal(0.02))(x)
+        return x

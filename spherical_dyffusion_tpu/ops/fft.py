@@ -41,8 +41,8 @@ class RealFFT2:
 
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x.astype(jnp.float32)
-        xf = jnp.fft.fft(x, axis=-3, norm="ortho")
-        xf = jnp.fft.rfft(xf, axis=-2, norm="ortho")[..., : self.mmax, :]
+        xf = jnp.fft.rfft(x, axis=-2, norm="ortho")[..., : self.mmax, :]
+        xf = jnp.fft.fft(xf, axis=-3, norm="ortho")
         lpos, lneg = self._lmax_half
         parts = [xf[..., :lpos, :, :]]
         if lneg > 0:

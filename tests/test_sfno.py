@@ -1,0 +1,121 @@
+"""SFNO backbone tests: shapes, determinism, time conditioning, grads, remat."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        img_shape=(16, 32),
+        in_chans=3,
+        out_chans=3,
+        embed_dim=8,
+        num_layers=2,
+        mlp_ratio=2.0,
+        pos_embed=True,
+        big_skip=True,
+    )
+    base.update(kw)
+    return SFNOConfig(**base)
+
+
+def test_forward_shape_and_determinism():
+    cfg = tiny_cfg()
+    model = SFNO(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y1 = model.apply(params, x)
+    y2 = model.apply(params, x)
+    assert y1.shape == (2, 16, 32, 3)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert np.isfinite(np.asarray(y1)).all()
+
+
+def test_condition_concat():
+    cfg = tiny_cfg(in_chans=3)
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    cond = jnp.ones((1, 16, 32, 2))
+    params = model.init(jax.random.PRNGKey(0), x, condition=cond)
+    y = model.apply(params, x, condition=cond)
+    assert y.shape == (1, 16, 32, 3)
+
+
+def test_time_embedding_changes_output():
+    cfg = tiny_cfg(with_time_emb=True)
+    model = SFNO(cfg)
+    x = jnp.ones((2, 16, 32, 3))
+    t = jnp.asarray([1.0, 2.0])
+    params = model.init(jax.random.PRNGKey(0), x, time=t)
+    y1 = model.apply(params, x, time=jnp.asarray([1.0, 1.0]))
+    y2 = model.apply(params, x, time=jnp.asarray([5.0, 5.0]))
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_scale_factor_downsampling():
+    cfg = tiny_cfg(scale_factor=2)
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 32, 3)
+
+
+def test_grad_flows():
+    cfg = tiny_cfg(num_layers=1)
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.mean(model.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # spectral filter weight must receive gradient
+    gw = g["params"]["block_0"]["filter"]["weight"]
+    assert float(jnp.abs(gw).sum()) > 0
+
+
+def test_dropout_stochastic_at_inference():
+    """Interpolator-style stochasticity: dropout active w/ deterministic=False."""
+    cfg = tiny_cfg(dropout_mlp=0.5, drop_path_rate=0.3)
+    model = SFNO(cfg)
+    x = jnp.ones((2, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y1 = model.apply(params, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    y2 = model.apply(params, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_nonlinear_filter():
+    cfg = tiny_cfg(filter_type="non-linear")
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 32, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_fft_transform_variant():
+    cfg = tiny_cfg(spectral_transform="fft")
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 32, 3)
+
+
+def test_debug_mode_shrinks():
+    cfg = tiny_cfg(embed_dim=64, num_layers=4, debug_mode=True)
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    assert "block_3" not in params["params"]
+    assert params["params"]["encoder_out"]["kernel"].shape[-1] == 16
