@@ -1,0 +1,187 @@
+"""DYffusion core tests: step mapping, schedule DSL, cold-sampling algebra.
+
+The d->i mapping cases are pinned to the examples documented in the reference
+(dyffusion.py:160-163); cold sampling is validated against an analytically
+exact interpolator/forecaster pair, for which the sampler must recover the
+true trajectory.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spherical_dyffusion_tpu.diffusion import (
+    DYffusionConfig,
+    build_schedule,
+    p_losses,
+    sample_loop,
+)
+
+
+def make(cfg_kwargs=None, timesteps=6):
+    cfg = DYffusionConfig(timesteps=timesteps, **(cfg_kwargs or {}))
+    return cfg, build_schedule(cfg)
+
+
+def test_d_to_i_default_identity():
+    cfg, sched = make()
+    assert sched.num_timesteps == 6
+    for d in range(1, 6):
+        assert sched.d_to_i(d) == d
+    assert sched.dynamical_steps == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+    assert sched.sampling_steps == (0, 1, 2, 3, 4, 5)
+
+
+@pytest.mark.parametrize(
+    "k,expected",
+    [
+        # reference docstring examples for h=5 (dyffusion.py:160-163)
+        (1, {5: 4, 4: 3, 3: 2, 2: 1, 1: 0.5}),
+        (2, {6: 4, 5: 3, 4: 2, 3: 1, 2: 2 / 3, 1: 1 / 3}),
+        (3, {7: 4, 6: 3, 5: 2, 4: 1, 3: 0.75, 2: 0.5, 1: 0.25}),
+    ],
+)
+def test_d_to_i_before_t1_only_with_additional_steps(k, expected):
+    cfg, sched = make({"additional_interpolation_steps": k}, timesteps=5)
+    assert sched.num_timesteps == 5 + k
+    for d, i_n in expected.items():
+        assert np.isclose(float(sched.d_to_i(d)), i_n), (d, i_n)
+    # tensor path must agree with the scalar path (reference asserts the same)
+    ds = jnp.asarray(list(expected.keys()), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(sched.d_to_i(ds)), np.asarray(list(expected.values())), atol=4e-6
+    )
+
+
+def test_linear_schedule_with_factor():
+    cfg, sched = make(
+        {"schedule": "linear", "additional_interpolation_steps_factor": 1}, timesteps=5
+    )
+    assert sched.num_timesteps == 5 + 4
+    for d in range(1, sched.num_timesteps):
+        assert np.isclose(float(sched.d_to_i(d)), d / 2)
+
+
+def test_sampling_schedule_dsl():
+    cfg, sched = make({"additional_interpolation_steps": 3,
+                       "sampling_schedule": "every2nd"}, timesteps=5)
+    # artificial steps are 1, 2, 3 -> every2nd keeps 1, 3; base = 0 + dynamical
+    assert sched.sampling_steps == (0, 1, 3, 4, 5, 6, 7)
+
+    cfg2, sched2 = make({"additional_interpolation_steps": 3,
+                         "sampling_schedule": "first2"}, timesteps=5)
+    assert sched2.sampling_steps == (0, 1, 2, 4, 5, 6, 7)
+
+    cfg3, sched3 = make({"additional_interpolation_steps": 3,
+                         "sampling_schedule": "only_dynamics"}, timesteps=5)
+    assert sched3.sampling_steps == (0, 4, 5, 6, 7)
+
+
+def _exact_world(horizon, shape=(2, 4, 4, 3)):
+    """A linear-dynamics world where interpolation and forecasting are exact:
+    x(t) = x0 + v * t with constant v. The interpolator returns the true
+    linear interpolation; the forecaster reads the velocity off x_t and t."""
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    v = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    x_last = x0 + v * horizon
+
+    def interpolate_fn(x_end, xl, t, rng_key, **kw):
+        w = (t / horizon).reshape((-1,) + (1,) * (x_end.ndim - 1))
+        return x_end + (xl - x_end) * w
+
+    def forecast_fn(x_t, time, condition, static_condition=None):
+        tt = jnp.asarray(time, jnp.float32).reshape((-1,) + (1,) * (x_t.ndim - 1))
+        # x_t = x0 + v t  =>  x_last = x_t + v (h - t); v is known in closure
+        return x_t + v * (horizon - tt)
+
+    return x0, v, x_last, interpolate_fn, forecast_fn
+
+
+def test_cold_sampling_recovers_exact_trajectory():
+    horizon = 6
+    cfg, sched = make(timesteps=horizon)
+    x0, v, x_last, interpolate_fn, forecast_fn = _exact_world(horizon)
+    out = sample_loop(
+        interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0)
+    )
+    assert set(out.preds.keys()) == {1, 2, 3, 4, 5, 6}
+    for h in range(1, 7):
+        np.testing.assert_allclose(
+            np.asarray(out.preds[h]), np.asarray(x0 + v * h), atol=1e-4, err_msg=f"h={h}"
+        )
+    np.testing.assert_allclose(np.asarray(out.x_last), np.asarray(x_last), atol=1e-4)
+
+
+def test_naive_sampling_also_exact_in_exact_world():
+    horizon = 4
+    cfg, sched = make({"sampling_type": "naive"}, timesteps=horizon)
+    x0, v, x_last, interpolate_fn, forecast_fn = _exact_world(horizon)
+    out = sample_loop(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    for h in range(1, horizon + 1):
+        np.testing.assert_allclose(
+            np.asarray(out.preds[h]), np.asarray(x0 + v * h), atol=1e-4
+        )
+
+
+def test_ar_init_branch():
+    horizon = 4
+    cfg, sched = make(
+        {"use_cold_sampling_for_last_step": False,
+         "use_cold_sampling_for_init_of_ar_step": True},
+        timesteps=horizon,
+    )
+    x0, v, x_last, interpolate_fn, forecast_fn = _exact_world(horizon)
+    out = sample_loop(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    assert out.ar_init is not None
+    # in the exact world the AR init equals the true final state
+    np.testing.assert_allclose(np.asarray(out.ar_init), np.asarray(x_last), atol=1e-4)
+
+
+def test_p_losses_exact_world_is_zero():
+    horizon = 6
+    cfg, sched = make(timesteps=horizon)
+    x0, v, x_last, interpolate_fn, forecast_fn = _exact_world(horizon)
+    losses = p_losses(
+        interpolate_fn, forecast_fn, cfg, sched, x0, x_last, jax.random.PRNGKey(1)
+    )
+    assert float(losses["loss"]) < 1e-5
+    assert float(losses["loss_forward2"]) == 0.0
+
+
+def test_p_losses_lambda2():
+    horizon = 6
+    cfg, sched = make({"lambda_reconstruction2": 0.5}, timesteps=horizon)
+    x0, v, x_last, interpolate_fn, forecast_fn = _exact_world(horizon)
+    losses = p_losses(
+        interpolate_fn, forecast_fn, cfg, sched, x0, x_last, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(losses["loss"]))
+    assert float(losses["loss"]) < 1e-5  # still exact world
+
+
+def test_hack_channel_shims():
+    """With hack_for_imprecise_interpolation, state carries one extra leading
+    channel; preds and x_last come back in forecaster channels."""
+    horizon = 3
+    cfg, sched = make({"hack_for_imprecise_interpolation": True}, timesteps=horizon)
+    B, H, W, C = 2, 4, 4, 5  # state channels = 5, forecaster channels = 4
+    rngn = np.random.default_rng(0)
+    x0 = jnp.asarray(rngn.standard_normal((B, H, W, C)), jnp.float32)
+
+    def interpolate_fn(x_end, xl, t, rng_key, **kw):
+        # contract: xl has C-1 channels; output has C (prepend channel 0)
+        assert xl.shape[-1] == C - 1
+        xl_full = jnp.concatenate([x_end[..., :1], xl], axis=-1)
+        w = (t / horizon).reshape((-1, 1, 1, 1))
+        return x_end + (xl_full - x_end) * w
+
+    def forecast_fn(x_t, time, condition, static_condition=None):
+        assert x_t.shape[-1] == C
+        return x_t[..., 1:] * 0.9
+
+    out = sample_loop(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    for h, p in out.preds.items():
+        assert p.shape[-1] == C - 1, h
+    assert out.x_last.shape[-1] == C - 1
