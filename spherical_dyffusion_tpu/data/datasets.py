@@ -1,0 +1,289 @@
+"""Time-series datasets over netCDF directories + synthetic debug data.
+
+Host-side data layer (numpy; device transfer happens in the trainer/rollout
+prefetch). Re-designs the reference's xarray datasets
+(src/ace_inference/core/data_loading/_xarray.py:115-328, getters.py:41-173,
+src/datamodules/debug_datamodule.py) around a simple Source/Window split:
+
+* a ``TimeSeriesSource`` maps a global timestep index onto (possibly many)
+  netCDF files with a cumulative index, or generates synthetic fields;
+* ``WindowedDataset`` slices (window + horizon) frames and packs them into
+  channels-last arrays ready for the TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .coords import HorizontalCoordinates, SigmaCoordinates
+from .netcdf import NetCDFFile
+
+__all__ = [
+    "TimeSeriesSource",
+    "NetCDFTimeSeries",
+    "SyntheticTimeSeries",
+    "WindowedDataset",
+    "ConcatSource",
+]
+
+
+class TimeSeriesSource:
+    """Abstract source of named (T, H, W) fields."""
+
+    n_timesteps: int
+    spatial_shape: tuple
+
+    def read_window(self, start: int, length: int, names: Sequence[str]) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    @property
+    def horizontal(self) -> HorizontalCoordinates:
+        raise NotImplementedError
+
+    @property
+    def sigma(self) -> Optional[SigmaCoordinates]:
+        return None
+
+
+class NetCDFTimeSeries(TimeSeriesSource):
+    """Multi-file netCDF time series with a cumulative timestep index
+    (reference _xarray.py:63-80, 258-297: windows may cross file boundaries).
+
+    Files are the sorted *.nc members of ``path`` (or a single file). Variables
+    with a leading time dimension are time-dependent; others are broadcast.
+    """
+
+    def __init__(self, path: str, time_dim_size_hint: Optional[str] = None):
+        if os.path.isdir(path):
+            self.files = sorted(glob.glob(os.path.join(path, "*.nc")))
+        else:
+            self.files = [path]
+        if not self.files:
+            raise FileNotFoundError(f"No .nc files under {path}")
+        self._handles: Dict[int, NetCDFFile] = {}
+        counts = []
+        f0 = self._file(0)
+        # find spatial dims from a 3D variable
+        self._time_dependent: Dict[str, bool] = {}
+        spatial = None
+        for name in f0.variables:
+            shp = f0.shape(name)
+            if len(shp) == 3:
+                spatial = shp[1:]
+                self._time_dependent[name] = True
+            elif len(shp) == 2:
+                self._time_dependent[name] = False
+        if spatial is None:
+            raise ValueError(f"No (time, lat, lon) variables found in {self.files[0]}")
+        self.spatial_shape = spatial
+        for i in range(len(self.files)):
+            f = self._file(i)
+            n = None
+            for name, td in self._time_dependent.items():
+                if td and name in f.variables:
+                    n = f.shape(name)[0]
+                    break
+            counts.append(n or 0)
+        self._counts = np.asarray(counts)
+        self._starts = np.concatenate([[0], np.cumsum(self._counts)])
+        self.n_timesteps = int(self._starts[-1])
+
+    def _file(self, i: int) -> NetCDFFile:
+        if i not in self._handles:
+            self._handles[i] = NetCDFFile(self.files[i])
+        return self._handles[i]
+
+    @property
+    def horizontal(self) -> HorizontalCoordinates:
+        f = self._file(0)
+        lat = lon = None
+        for cand in ("lat", "grid_yt", "latitude"):
+            if cand in f.variables:
+                lat = np.asarray(f.read(cand))
+                break
+        for cand in ("lon", "grid_xt", "longitude"):
+            if cand in f.variables:
+                lon = np.asarray(f.read(cand))
+                break
+        if lat is None or lon is None:
+            return HorizontalCoordinates.regular(*self.spatial_shape)
+        return HorizontalCoordinates(lat, lon)
+
+    @property
+    def sigma(self) -> Optional[SigmaCoordinates]:
+        f = self._file(0)
+        aks = sorted([v for v in f.variables if v.startswith("ak_")],
+                     key=lambda s: int(s.split("_")[1]))
+        bks = sorted([v for v in f.variables if v.startswith("bk_")],
+                     key=lambda s: int(s.split("_")[1]))
+        if aks and bks:
+            ak = np.asarray([float(f.read(v)) for v in aks])
+            bk = np.asarray([float(f.read(v)) for v in bks])
+            return SigmaCoordinates(ak, bk)
+        if "ak" in f.variables and "bk" in f.variables:
+            return SigmaCoordinates(np.asarray(f.read("ak")), np.asarray(f.read("bk")))
+        return None
+
+    def read_window(self, start: int, length: int, names: Sequence[str]) -> Dict[str, np.ndarray]:
+        out = {n: [] for n in names}
+        remaining = length
+        t = start
+        while remaining > 0:
+            fi = int(np.searchsorted(self._starts, t, side="right") - 1)
+            local = t - int(self._starts[fi])
+            take = min(remaining, int(self._counts[fi]) - local)
+            f = self._file(fi)
+            for n in names:
+                if self._time_dependent.get(n, True):
+                    out[n].append(np.asarray(f.read(n, slice(local, local + take))))
+                else:
+                    arr = np.asarray(f.read(n))
+                    out[n].append(np.broadcast_to(arr, (take,) + arr.shape))
+            t += take
+            remaining -= take
+        return {n: np.concatenate(v, axis=0) if len(v) > 1 else v[0] for n, v in out.items()}
+
+
+class SyntheticTimeSeries(TimeSeriesSource):
+    """Deterministic synthetic fields for debug/smoke runs (the counterpart of
+    the reference DebugDataModule, debug_datamodule.py:18-113): smooth random
+    dynamics so interpolation/forecasting losses are non-trivial."""
+
+    def __init__(
+        self,
+        names: Sequence[str],
+        n_timesteps: int = 96,
+        spatial_shape: tuple = (180, 360),
+        seed: int = 0,
+    ):
+        self.names = list(names)
+        self.n_timesteps = n_timesteps
+        self.spatial_shape = tuple(spatial_shape)
+        self.seed = seed
+        H, W = self.spatial_shape
+        rng = np.random.default_rng(seed)
+        # a few random low-frequency spatial modes per variable with slow
+        # temporal rotation -> smooth, band-limited dynamics
+        self._phases = rng.uniform(0, 2 * np.pi, (len(self.names), 4))
+        self._freqs = rng.uniform(0.02, 0.1, (len(self.names), 4))
+        ky = rng.integers(1, 4, (len(self.names), 4))
+        kx = rng.integers(1, 4, (len(self.names), 4))
+        yy = np.linspace(0, 2 * np.pi, H, endpoint=False)[:, None]
+        xx = np.linspace(0, 2 * np.pi, W, endpoint=False)[None, :]
+        self._modes = np.stack(
+            [
+                np.stack([np.sin(ky[v, i] * yy + kx[v, i] * xx) for i in range(4)])
+                for v in range(len(self.names))
+            ]
+        )  # (V, 4, H, W)
+
+    @property
+    def horizontal(self) -> HorizontalCoordinates:
+        return HorizontalCoordinates.regular(*self.spatial_shape)
+
+    @property
+    def sigma(self) -> Optional[SigmaCoordinates]:
+        k = 8
+        return SigmaCoordinates(
+            ak=np.linspace(0.0, 0.0, k + 1), bk=np.linspace(0.0, 1.0, k + 1)
+        )
+
+    def read_window(self, start: int, length: int, names: Sequence[str]) -> Dict[str, np.ndarray]:
+        t = np.arange(start, start + length)[:, None]
+        out = {}
+        for n in names:
+            v = self.names.index(n)
+            coef = np.cos(self._freqs[v][None, :] * t + self._phases[v][None, :])  # (T, 4)
+            field = np.einsum("tk,khw->thw", coef, self._modes[v])
+            out[n] = field.astype(np.float32)
+        return out
+
+
+class ConcatSource(TimeSeriesSource):
+    """Concatenation of ensemble-member sources (reference ensemble_xarray,
+    getters.py:41-88): sample indices never cross member boundaries."""
+
+    def __init__(self, sources: List[TimeSeriesSource]):
+        assert sources
+        self.sources = sources
+        self.spatial_shape = sources[0].spatial_shape
+        self.n_timesteps = sum(s.n_timesteps for s in sources)
+
+    @property
+    def horizontal(self):
+        return self.sources[0].horizontal
+
+    @property
+    def sigma(self):
+        return self.sources[0].sigma
+
+    def member_bounds(self) -> List[tuple]:
+        starts = np.cumsum([0] + [s.n_timesteps for s in self.sources])
+        return [(int(a), int(b)) for a, b in zip(starts[:-1], starts[1:])]
+
+    def read_window(self, start: int, length: int, names: Sequence[str]) -> Dict[str, np.ndarray]:
+        for (a, b), src in zip(self.member_bounds(), self.sources):
+            if a <= start < b:
+                if start + length > b:
+                    raise IndexError("window crosses ensemble-member boundary")
+                return src.read_window(start - a, length, names)
+        raise IndexError(start)
+
+
+@dataclasses.dataclass
+class WindowedDataset:
+    """Maps sample index -> (window + horizon) frames, packed channels-last.
+
+    Returns a dict:
+      dynamics:            (T+window, H, W, C_in) float32 raw fields
+      dynamical_condition: (T+window, H, W, C_forcing) normalized forcings
+                           (present only if forcing_names given), matching the
+                           reference XarrayDatasetSalva (_xarray.py:300-328)
+    """
+
+    source: TimeSeriesSource
+    in_names: Sequence[str]
+    horizon: int
+    window: int = 1
+    forcing_names: Sequence[str] = ()
+    forcing_normalizer: Optional[object] = None  # StandardNormalizer for forcings
+    stride: int = 1  # sampling stride between start indices
+
+    def __len__(self) -> int:
+        total = self.window + self.horizon
+        if isinstance(self.source, ConcatSource):
+            n = 0
+            for a, b in self.source.member_bounds():
+                n += max(0, (b - a - total) // self.stride + 1)
+            return n
+        return max(0, (self.source.n_timesteps - total) // self.stride + 1)
+
+    def _start_index(self, i: int) -> int:
+        total = self.window + self.horizon
+        if isinstance(self.source, ConcatSource):
+            for a, b in self.source.member_bounds():
+                m = max(0, (b - a - total) // self.stride + 1)
+                if i < m:
+                    return a + i * self.stride
+                i -= m
+            raise IndexError(i)
+        return i * self.stride
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        start = self._start_index(i)
+        total = self.window + self.horizon
+        names = list(self.in_names) + [n for n in self.forcing_names if n not in self.in_names]
+        raw = self.source.read_window(start, total, names)
+        dynamics = np.stack([raw[n] for n in self.in_names], axis=-1).astype(np.float32)
+        out = {"dynamics": dynamics}
+        if self.forcing_names:
+            forcing = np.stack([raw[n] for n in self.forcing_names], axis=-1).astype(np.float32)
+            if self.forcing_normalizer is not None:
+                forcing = np.asarray(self.forcing_normalizer.normalize(forcing))
+            out["dynamical_condition"] = forcing
+        return out

@@ -1,0 +1,129 @@
+"""Data layer tests: packer, normalizer (against reference stats files),
+netCDF reading, windowed datasets (incl. file-boundary crossing), datamodule."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from spherical_dyffusion_tpu.data import (
+    ConcatSource,
+    DebugDataModule,
+    NetCDFTimeSeries,
+    Packer,
+    StandardNormalizer,
+    SyntheticTimeSeries,
+    WindowedDataset,
+    get_normalizer,
+)
+
+REF_STATS = "/root/reference/data_statistics"
+
+
+def test_packer_roundtrip():
+    p = Packer(["a", "b", "c"])
+    d = {n: jnp.full((2, 4, 4), i, jnp.float32) for i, n in enumerate(["a", "b", "c"])}
+    packed = p.pack(d)
+    assert packed.shape == (2, 4, 4, 3)
+    und = p.unpack(packed)
+    for i, n in enumerate(["a", "b", "c"]):
+        np.testing.assert_array_equal(np.asarray(und[n]), np.asarray(d[n]))
+    assert p.channel("b") == 1
+
+
+def test_normalizer_roundtrip():
+    norm = StandardNormalizer.from_dicts(
+        {"a": 1.0, "b": -2.0}, {"a": 2.0, "b": 0.5}, ["a", "b"]
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 4, 4, 2)), jnp.float32)
+    y = norm.normalize(x)
+    np.testing.assert_allclose(np.asarray(norm.denormalize(y)), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(y[..., 0]), (np.asarray(x[..., 0]) - 1.0) / 2.0, atol=1e-6
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_STATS), reason="reference stats not present")
+def test_normalizer_from_reference_stats():
+    names = ["PRESsfc", "surface_temperature", "air_temperature_0", "DSWRFtoa", "HGTsfc"]
+    norm = get_normalizer(
+        os.path.join(REF_STATS, "centering.nc"),
+        os.path.join(REF_STATS, "scaling.nc"),
+        names,
+    )
+    assert norm.names == tuple(names)
+    # spot value read directly with h5py
+    with h5py.File(os.path.join(REF_STATS, "centering.nc")) as f:
+        expected = float(f["PRESsfc"][()])
+    assert np.isclose(float(norm.means[0]), expected)
+    state = norm.get_state()
+    norm2 = StandardNormalizer.from_state(state)
+    np.testing.assert_allclose(np.asarray(norm2.means), np.asarray(norm.means))
+
+
+def _write_nc(path, var_shapes, n_time, seed=0):
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "w") as f:
+        for name, spatial in var_shapes.items():
+            f.create_dataset(name, data=rng.standard_normal((n_time,) + spatial).astype(np.float32))
+        f.create_dataset("lat", data=np.linspace(-89.5, 89.5, 8))
+        f.create_dataset("lon", data=np.linspace(0.5, 359.5, 16))
+
+
+def test_netcdf_timeseries_crosses_file_boundaries(tmp_path):
+    shapes = {"T": (8, 16), "q": (8, 16)}
+    _write_nc(tmp_path / "a.nc", shapes, 5, seed=1)
+    _write_nc(tmp_path / "b.nc", shapes, 7, seed=2)
+    src = NetCDFTimeSeries(str(tmp_path))
+    assert src.n_timesteps == 12
+    w = src.read_window(3, 6, ["T", "q"])  # crosses the 5-step boundary
+    assert w["T"].shape == (6, 8, 16)
+    # validate stitching against per-file reads
+    a = src.read_window(3, 2, ["T"])["T"]
+    b = src.read_window(5, 4, ["T"])["T"]
+    np.testing.assert_array_equal(w["T"], np.concatenate([a, b]))
+
+
+def test_windowed_dataset_shapes_and_bounds():
+    src = SyntheticTimeSeries(["x", "y", "f"], n_timesteps=20, spatial_shape=(8, 16))
+    ds = WindowedDataset(src, in_names=["x", "y"], horizon=6, window=1,
+                         forcing_names=["f"])
+    assert len(ds) == 20 - 7 + 1
+    item = ds[0]
+    assert item["dynamics"].shape == (7, 8, 16, 2)
+    assert item["dynamical_condition"].shape == (7, 8, 16, 1)
+    _ = ds[len(ds) - 1]
+    with pytest.raises(IndexError):
+        ds._start_index(len(ds)) if isinstance(src, ConcatSource) else (_ for _ in ()).throw(IndexError)
+
+
+def test_concat_source_no_boundary_crossing():
+    s1 = SyntheticTimeSeries(["x"], n_timesteps=10, spatial_shape=(4, 8), seed=1)
+    s2 = SyntheticTimeSeries(["x"], n_timesteps=10, spatial_shape=(4, 8), seed=2)
+    src = ConcatSource([s1, s2])
+    ds = WindowedDataset(src, in_names=["x"], horizon=3, window=1)
+    # 10-4+1 = 7 valid starts per member
+    assert len(ds) == 14
+    i_last_of_first = 6
+    item = ds[i_last_of_first]
+    expected = s1.read_window(6, 4, ["x"])["x"]
+    np.testing.assert_allclose(item["dynamics"][..., 0], expected)
+    item2 = ds[7]
+    expected2 = s2.read_window(0, 4, ["x"])["x"]
+    np.testing.assert_allclose(item2["dynamics"][..., 0], expected2)
+
+
+def test_debug_datamodule_batches():
+    dm = DebugDataModule(channels=3, height=8, width=16, horizon=4, n_forcing=2,
+                         batch_size=2, n_timesteps=32)
+    batches = list(dm.train_batches(seed=0))
+    assert len(batches) >= 2
+    b = batches[0]
+    assert b["dynamics"].shape == (2, 5, 8, 16, 3)
+    assert b["dynamical_condition"].shape == (2, 5, 8, 16, 2)
+    assert dm.horizon_for_split("train") == 4
+    w = dm.grid.horizontal.area_weights()
+    assert np.isclose(float(jnp.sum(w)), 1.0, atol=1e-5)
