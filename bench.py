@@ -1,0 +1,141 @@
+"""Benchmark: simulated-years/day for the 10-year FV3GFS emulation rollout.
+
+Mirrors the reference's throughput metric (total_steps_per_second,
+src/ace_inference/inference/inference.py:294-298) on the paper configuration:
+SFNO embed_dim 256 / 8 layers / dhconv (configs/model/sfno.yaml), DYffusion
+horizon 6, 35 predicted channels + 2 forcings at 180x360, prescribed-SST,
+windowed autoregressive rollout (ckpts_from_huggingface_10years.yaml:
+14,600 6-hourly steps = 10 years).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 25 simulated-years/day on TPU v5e (BASELINE.md).
+
+Env overrides: BENCH_STEPS (total steps to time), BENCH_WINDOW, BENCH_EMBED,
+BENCH_LAYERS, BENCH_ENSEMBLE.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax.numpy as jnp
+import numpy as np
+
+from spherical_dyffusion_tpu.data import (
+    DataModuleConfig,
+    Packer,
+    StandardNormalizer,
+    SyntheticTimeSeries,
+)
+from spherical_dyffusion_tpu.diffusion import DYffusionConfig
+from spherical_dyffusion_tpu.inference import (
+    DYffusionStepper,
+    InferenceConfig,
+    PrescriberConfig,
+    run_inference,
+)
+from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+from spherical_dyffusion_tpu.training import (
+    DYffusionForecastingExperiment,
+    ExperimentConfig,
+    InterpolationExperiment,
+)
+
+STEPS_PER_SIM_YEAR = 1460  # 6-hourly steps
+BASELINE_SIM_YEARS_PER_DAY = 25.0
+
+
+def build(embed=256, layers=8):
+    H, W = 180, 360
+    horizon = 6
+    in_names = [f"v{i}" for i in range(35)]
+    in_names[1] = "surface_temperature"
+    forcing_names = ["DSWRFtoa", "HGTsfc"]
+    C, CF = len(in_names), len(forcing_names)
+    norm = StandardNormalizer.from_dicts(
+        {n: 0.0 for n in in_names}, {n: 1.0 for n in in_names}, in_names
+    )
+    fnorm = StandardNormalizer.from_dicts(
+        {n: 0.0 for n in forcing_names}, {n: 1.0 for n in forcing_names}, forcing_names
+    )
+    in_packer, out_packer = Packer(in_names), Packer(in_names)
+
+    icfg = ExperimentConfig(horizon=horizon, window=1, enable_inference_dropout=True)
+    imodel = SFNO(SFNOConfig(
+        img_shape=(H, W), in_chans=2 * C + CF, out_chans=C, embed_dim=embed,
+        num_layers=layers, operator_type="dhconv", with_time_emb=True,
+        dropout_mlp=0.1, drop_path_rate=0.1, min_time=1, max_time=horizon - 1,
+        data_grid="equiangular",
+    ))
+    interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
+
+    fmodel = SFNO(SFNOConfig(
+        img_shape=(H, W), in_chans=C + CF, out_chans=C, embed_dim=embed,
+        num_layers=layers, operator_type="dhconv", with_time_emb=True,
+        min_time=0, max_time=horizon - 1, data_grid="equiangular",
+    ))
+    dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
+                           time_encoding="dynamics")
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, H, W, C))
+    cond_i = jnp.zeros((1, H, W, CF))
+    ip_params = jax.jit(lambda r: imodel.init(
+        r, jnp.concatenate([x, x], -1), time=jnp.ones((1,)), static_condition=cond_i
+    ))(rng)
+    fc_params = jax.jit(lambda r: fmodel.init(
+        r, x, time=jnp.zeros((1,)), static_condition=cond_i
+    ))(rng)
+
+    exp = DYffusionForecastingExperiment(
+        fmodel, interp, ip_params, dcfg,
+        ExperimentConfig(horizon=horizon), in_packer, out_packer, norm,
+        forcing_names=forcing_names, forcing_normalizer=fnorm,
+    )
+    prescriber = PrescriberConfig("surface_temperature", "ocean_fraction", 1).build(in_names)
+    stepper = DYffusionStepper(exp, fc_params, prescriber=prescriber)
+    return stepper, in_names, forcing_names
+
+
+def main():
+    embed = int(os.environ.get("BENCH_EMBED", 256))
+    layers = int(os.environ.get("BENCH_LAYERS", 8))
+    window = int(os.environ.get("BENCH_WINDOW", 96))
+    total_steps = int(os.environ.get("BENCH_STEPS", 4 * window))
+    n_ensemble = int(os.environ.get("BENCH_ENSEMBLE", 1))
+
+    stepper, in_names, forcing_names = build(embed, layers)
+    names = in_names + forcing_names + ["ocean_fraction"]
+    src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
+
+    # warmup window: compile the full rollout program
+    cfg_w = InferenceConfig(n_forward_steps=window, forward_steps_in_memory=window,
+                            n_ensemble=n_ensemble, n_repeats=4)
+    t0 = time.time()
+    run_inference(stepper, src, cfg_w, mask_name="ocean_fraction", verbose=False)
+    compile_s = time.time() - t0
+
+    # timed rollout
+    cfg = InferenceConfig(n_forward_steps=total_steps, forward_steps_in_memory=window,
+                          n_ensemble=n_ensemble, n_repeats=max(4, total_steps // window + 2))
+    summary = run_inference(stepper, src, cfg, mask_name="ocean_fraction", verbose=False)
+
+    sps = summary["total_steps_per_second"]
+    sim_years_per_day = sps * 86400.0 / STEPS_PER_SIM_YEAR
+    print(json.dumps({
+        "metric": "simulated_years_per_day",
+        "value": round(sim_years_per_day, 3),
+        "unit": "sim-years/day (10-yr FV3GFS rollout config, SFNO-DYffusion "
+                f"embed{embed}x{layers}, window {window}, ensemble {n_ensemble}; "
+                f"steps/s {sps:.3f}; compile {compile_s:.0f}s)",
+        "vs_baseline": round(sim_years_per_day / BASELINE_SIM_YEARS_PER_DAY, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

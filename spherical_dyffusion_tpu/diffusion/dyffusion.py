@@ -436,10 +436,12 @@ def sample_loop(
     ri = iter(range(len(rngs)))
 
     def interp(x0, t_val, key):
+        # all conditioning kwargs flow through to the interpolator, like the
+        # reference q_sample(**kwargs) -> _interpolate (dyffusion.py:496-499)
         return q_sample(
             interpolate_fn, cfg, sched, initial_condition, x0, None, key,
             interpolation_time=jnp.asarray(float(t_val), jnp.float32),
-            **{k: v for k, v in cond_kwargs.items() if k == "dynamical_condition"},
+            **cond_kwargs,
         )
 
     fc_kwargs = dict(cond_kwargs)

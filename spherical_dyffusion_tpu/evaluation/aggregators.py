@@ -1,0 +1,217 @@
+"""Running metric aggregators for training eval and long rollouts.
+
+Functional re-design of the reference aggregator classes
+(src/evaluation/aggregators/*: OneStepAggregator main.py:62, MeanAggregator
+timestepwise.py:26-214, TimeMeanAggregator time_mean.py:17-214,
+SnapshotAggregator snapshot.py, and the inference-side aggregators under
+src/ace_inference/core/aggregator/inference/). Device work is one jitted
+reduction per recorded window returning small (T, C) tables; running state is
+tiny host-side numpy. Metric taxonomy matches the reference:
+``{split}/t{h}/{metric}/{var}`` plus ``avg`` reductions
+(_base_experiment.py:966-1030).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import metrics as M
+
+__all__ = [
+    "TimeMeanAggregator",
+    "ReducedMetricsAggregator",
+    "SnapshotAggregator",
+    "ZonalMeanAggregator",
+    "InferenceAggregator",
+]
+
+
+class TimeMeanAggregator:
+    """Accumulates time-mean prediction/target maps; final logs are
+    area-weighted RMSE and bias of the time means per variable
+    (reference time_mean.py:17-214 and inference/time_mean*.py)."""
+
+    def __init__(self, names: Sequence[str], area_weights: jax.Array):
+        self.names = list(names)
+        self.w = area_weights
+        self._pred_sum = None
+        self._tgt_sum = None
+        self._n = 0
+
+    def record(self, preds: np.ndarray, targets: np.ndarray):
+        """preds: (E, T, H, W, C) or (T, H, W, C); targets: (T, H, W, C)."""
+        if preds.ndim == 5:
+            preds = preds.mean(axis=0)  # ensemble mean
+        p = np.asarray(preds, np.float64).sum(axis=0)
+        t = np.asarray(targets, np.float64).sum(axis=0)
+        if self._pred_sum is None:
+            self._pred_sum, self._tgt_sum = p, t
+        else:
+            self._pred_sum += p
+            self._tgt_sum += t
+        self._n += preds.shape[0]
+
+    def get_logs(self, label: str = "time_mean") -> Dict[str, float]:
+        if self._n == 0:
+            return {}
+        pred_mean = jnp.asarray(self._pred_sum / self._n, jnp.float32)
+        tgt_mean = jnp.asarray(self._tgt_sum / self._n, jnp.float32)
+        w = self.w[..., None]
+        rmse = M.root_mean_squared_error(tgt_mean, pred_mean, w, dim=(-3, -2))
+        bias = M.weighted_mean_bias(tgt_mean, pred_mean, w, dim=(-3, -2))
+        out = {}
+        for i, n in enumerate(self.names):
+            out[f"{label}/rmse/{n}"] = float(rmse[..., i].mean())
+            out[f"{label}/bias/{n}"] = float(bias[..., i].mean())
+        return out
+
+    @property
+    def maps(self):
+        if self._n == 0:
+            return None
+        return self._pred_sum / self._n, self._tgt_sum / self._n
+
+
+def _window_tables(preds, targets, w):
+    """Jitted per-window reduction. preds (E, T, H, W, C), targets (T, H, W, C)
+    -> dict of (T, C) tables."""
+    wc = w[..., None]
+    ens_mean = jnp.mean(preds, axis=0)
+    out = {
+        "rmse": M.root_mean_squared_error(targets, ens_mean, wc, dim=(-3, -2)),
+        "bias": M.weighted_mean_bias(targets, ens_mean, wc, dim=(-3, -2)),
+        "grad_mag_percent_diff": M.gradient_magnitude_percent_diff(
+            targets, ens_mean, wc, dim=(-3, -2)
+        ),
+    }
+    if preds.shape[0] > 1:
+        out["crps"] = M.crps_ensemble(targets, preds, wc, dim=(-3, -2))
+        out["ssr"] = M.spread_skill_ratio(targets, preds, wc, dim=(-3, -2))
+    return out
+
+
+class ReducedMetricsAggregator:
+    """Per-timestep metric tables over a full rollout (reference
+    inference/reduced.py + MeanAggregator): rows indexed by global timestep."""
+
+    def __init__(self, names: Sequence[str], area_weights: jax.Array):
+        self.names = list(names)
+        self.w = area_weights
+        self._tables: Dict[str, List[np.ndarray]] = {}
+        self._steps: List[int] = []
+        self._fn = jax.jit(_window_tables)
+
+    def record(self, preds, targets, start_step: int = 0):
+        preds = jnp.asarray(preds)
+        if preds.ndim == 4:
+            preds = preds[None]
+        tables = {k: np.asarray(v) for k, v in self._fn(preds, jnp.asarray(targets), self.w).items()}
+        T = preds.shape[1]
+        self._steps.extend(range(start_step, start_step + T))
+        for k, v in tables.items():
+            self._tables.setdefault(k, []).append(v)
+
+    def series(self) -> Dict[str, np.ndarray]:
+        """{metric: (total_T, C)} tables."""
+        return {k: np.concatenate(v, axis=0) for k, v in self._tables.items()}
+
+    def get_logs(self, label: str = "") -> Dict[str, float]:
+        """Time-averaged metrics per variable + global avg (reference avg/)."""
+        out = {}
+        prefix = f"{label}/" if label else ""
+        for metric, rows in self.series().items():
+            mean_t = rows.mean(axis=0)
+            for i, n in enumerate(self.names):
+                out[f"{prefix}{metric}/{n}"] = float(mean_t[i])
+            out[f"{prefix}avg/{metric}"] = float(mean_t.mean())
+        return out
+
+
+class SnapshotAggregator:
+    """Stores (pred, target) snapshot maps at fixed global timesteps
+    (reference inference/main.py:105-112 snapshot schedule)."""
+
+    DEFAULT_STEPS = (20, 500, 1400, 5000, 10000, 14600)
+
+    def __init__(self, names: Sequence[str], steps: Optional[Sequence[int]] = None):
+        self.names = list(names)
+        self.steps = sorted(steps if steps is not None else self.DEFAULT_STEPS)
+        self.snapshots: Dict[int, dict] = {}
+
+    def record(self, preds, targets, start_step: int = 0):
+        preds = np.asarray(preds)
+        if preds.ndim == 5:
+            preds = preds[0]  # first ensemble member
+        T = preds.shape[0]
+        for s in self.steps:
+            local = s - start_step
+            if 0 <= local < T and s not in self.snapshots:
+                self.snapshots[s] = {
+                    "preds": preds[local],
+                    "targets": np.asarray(targets)[local],
+                }
+
+
+class ZonalMeanAggregator:
+    """Zonal-mean (over longitude) Hovmoeller accumulation
+    (reference inference/zonal_mean.py)."""
+
+    def __init__(self, names: Sequence[str]):
+        self.names = list(names)
+        self._pred_rows: List[np.ndarray] = []
+        self._tgt_rows: List[np.ndarray] = []
+
+    def record(self, preds, targets, start_step: int = 0):
+        preds = np.asarray(preds)
+        if preds.ndim == 5:
+            preds = preds.mean(axis=0)
+        self._pred_rows.append(preds.mean(axis=-2))  # (T, H, C)
+        self._tgt_rows.append(np.asarray(targets).mean(axis=-2))
+
+    def get_maps(self):
+        if not self._pred_rows:
+            return None
+        return (
+            np.concatenate(self._pred_rows, axis=0),
+            np.concatenate(self._tgt_rows, axis=0),
+        )
+
+
+class InferenceAggregator:
+    """Composes the per-rollout aggregators (reference
+    ace_inference/core/aggregator/inference/main.py:42-220)."""
+
+    def __init__(
+        self,
+        names: Sequence[str],
+        area_weights,
+        record_step_20: bool = True,
+        log_zonal_mean_images: bool = True,
+        snapshot_steps: Optional[Sequence[int]] = None,
+    ):
+        self.names = list(names)
+        self.time_mean = TimeMeanAggregator(names, area_weights)
+        self.reduced = ReducedMetricsAggregator(names, area_weights)
+        self.snapshots = SnapshotAggregator(names, snapshot_steps)
+        self.zonal = ZonalMeanAggregator(names) if log_zonal_mean_images else None
+
+    def record_batch(self, preds, targets, start_step: int = 0):
+        """preds: (E, T, H, W, C) raw; targets: (T, H, W, C) raw."""
+        preds = np.asarray(preds)
+        targets = np.asarray(targets)
+        self.time_mean.record(preds, targets)
+        self.reduced.record(preds, targets, start_step)
+        self.snapshots.record(preds, targets, start_step)
+        if self.zonal is not None:
+            self.zonal.record(preds, targets, start_step)
+
+    def get_logs(self, label: str = "inference") -> Dict[str, float]:
+        logs = {}
+        logs.update(self.reduced.get_logs(label))
+        logs.update(self.time_mean.get_logs(f"{label}/time_mean"))
+        return logs

@@ -1,0 +1,25 @@
+from .loop import InferenceConfig, InferenceWindows, run_inference
+from .prescriber import NullPrescriber, PackedPrescriber, PrescriberConfig
+from .stepper import DYffusionStepper
+from .writers import (
+    DataWriter,
+    DataWriterConfig,
+    HistogramWriter,
+    PredictionWriter,
+    TimeCoarsen,
+)
+
+__all__ = [
+    "InferenceConfig",
+    "InferenceWindows",
+    "run_inference",
+    "NullPrescriber",
+    "PackedPrescriber",
+    "PrescriberConfig",
+    "DYffusionStepper",
+    "DataWriter",
+    "DataWriterConfig",
+    "HistogramWriter",
+    "PredictionWriter",
+    "TimeCoarsen",
+]

@@ -1,0 +1,202 @@
+"""Autoregressive rollout driver: windowed loop over a (possibly repeated)
+forcing dataset.
+
+Equivalent of the reference inference engine (src/ace_inference/inference/
+loop.py:26-326 WindowStitcher + run_inference, data_loading/inference.py:61-175
+InferenceDataset). The reference python-loops every step; here the device work
+per window is ONE compiled program (see stepper.py) and the host only slices
+forcing windows, carries the stitched state, and feeds aggregators/writers.
+
+The window stitching of the reference (WindowStitcher, loop.py:26-117) becomes
+trivial: the stepper returns the final state of each window, which is the next
+window's initial condition — no index bookkeeping, no host copies of state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import TimeSeriesSource
+from ..data.normalization import StandardNormalizer
+from .stepper import DYffusionStepper
+
+__all__ = ["InferenceConfig", "InferenceWindows", "run_inference"]
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Mirrors the reference InferenceConfig (inference/inference.py:78-203)."""
+
+    n_forward_steps: int = 100
+    forward_steps_in_memory: int = 50
+    n_ensemble: int = 1
+    n_repeats: int = 1  # loop the dataset for rollouts longer than the data
+    start_index: int = 0
+    seed: int = 0
+
+
+class InferenceWindows:
+    """Yields consecutive (start_step, window dict) covering the rollout:
+    window k holds frames [k*T, k*T + T] (T = forward_steps_in_memory), read
+    with wrap-around over the source when n_repeats > 1
+    (reference data_loading/inference.py:89-147)."""
+
+    def __init__(
+        self,
+        source: TimeSeriesSource,
+        names: Sequence[str],
+        cfg: InferenceConfig,
+    ):
+        self.source = source
+        self.names = list(names)
+        self.cfg = cfg
+        n_avail = source.n_timesteps * cfg.n_repeats - cfg.start_index
+        if cfg.n_forward_steps + 1 > n_avail:
+            raise ValueError(
+                f"rollout needs {cfg.n_forward_steps + 1} frames, source has "
+                f"{n_avail} (n_repeats={cfg.n_repeats})"
+            )
+
+    def _read(self, start: int, length: int) -> Dict[str, np.ndarray]:
+        """Read with wrap-around across dataset repeats."""
+        n = self.source.n_timesteps
+        out = {k: [] for k in self.names}
+        t = start
+        remaining = length
+        while remaining > 0:
+            local = t % n
+            take = min(remaining, n - local)
+            chunk = self.source.read_window(local, take, self.names)
+            for k in self.names:
+                out[k].append(chunk[k])
+            t += take
+            remaining -= take
+        return {
+            k: (np.concatenate(v, axis=0) if len(v) > 1 else v[0]) for k, v in out.items()
+        }
+
+    def __iter__(self) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
+        cfg = self.cfg
+        T = cfg.forward_steps_in_memory
+        step = 0
+        while step < cfg.n_forward_steps:
+            length = min(T, cfg.n_forward_steps - step) + 1
+            data = self._read(cfg.start_index + step, length)
+            yield step, data
+            step += length - 1
+
+
+def run_inference(
+    stepper: DYffusionStepper,
+    source: TimeSeriesSource,
+    cfg: InferenceConfig,
+    aggregator=None,
+    writer=None,
+    mask_name: Optional[str] = None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Run the full rollout; returns the summary timing/throughput dict
+    (reference inference.py:294-298 logs total_steps_per_second)."""
+    exp = stepper.exp
+    in_names = list(exp.in_packer.names)
+    out_names = list(exp.out_packer.names)
+    forcing_names = [n for n in getattr(exp, "forcing_names", [])]
+    # channels needed from the dataset
+    needed = list(dict.fromkeys(in_names + out_names + forcing_names))
+    if mask_name:
+        needed.append(mask_name)
+    windows = InferenceWindows(source, needed, cfg)
+
+    normalizer = exp.normalizer  # over in_names
+    out_norm = normalizer.subset(out_names)
+    prescriber = stepper.prescriber
+    prescribed_name = getattr(prescriber, "prescribed_name", None)
+
+    timers = {"data_loading": 0.0, "run_on_batch": 0.0, "writer_and_aggregator": 0.0}
+    t_start = time.time()
+    rng = jax.random.PRNGKey(cfg.seed)
+    x_norm = None
+    H = stepper.horizon
+
+    it = iter(windows)
+    n_done = 0
+    while True:
+        t0 = time.time()
+        try:
+            start_step, data = next(it)
+        except StopIteration:
+            break
+        timers["data_loading"] += time.time() - t0
+
+        t0 = time.time()
+        n_steps = min(cfg.forward_steps_in_memory, cfg.n_forward_steps - start_step)
+
+        if x_norm is None:
+            init_raw = np.stack([data[n][0] for n in in_names], axis=-1)[None]
+            x_norm = jnp.asarray(
+                normalizer.normalize(jnp.asarray(init_raw, jnp.float32))
+            )
+            x_norm = jnp.tile(x_norm, (cfg.n_ensemble, 1, 1, 1))
+
+        forcing = None
+        if forcing_names:
+            f_raw = np.stack([data[n] for n in forcing_names], axis=-1)[None]
+            f_norm = exp_forcing_normalizer(exp).normalize(jnp.asarray(f_raw, jnp.float32))
+            forcing = jnp.tile(f_norm, (cfg.n_ensemble, 1, 1, 1, 1))
+
+        tgt_norm = None
+        mask = None
+        if prescribed_name and mask_name:
+            ch = out_names.index(prescribed_name)
+            t_raw = jnp.asarray(data[prescribed_name][None], jnp.float32)
+            mu, sd = out_norm.means[ch], out_norm.stds[ch]
+            tgt_norm = jnp.tile((t_raw - mu) / sd, (cfg.n_ensemble, 1, 1, 1))
+            mask = jnp.tile(
+                jnp.asarray(data[mask_name][0][None], jnp.float32), (cfg.n_ensemble, 1, 1)
+            )
+
+        rng, sub = jax.random.split(rng)
+        x_norm, preds_norm = stepper.run_window(
+            x_norm, forcing, tgt_norm, mask, sub, n_steps
+        )
+        preds_raw = out_norm.denormalize(preds_norm)
+        preds_raw_host = np.asarray(preds_raw)
+        timers["run_on_batch"] += time.time() - t0
+
+        t0 = time.time()
+        targets_raw = np.stack(
+            [data[n][1 : n_steps + 1] for n in out_names], axis=-1
+        )
+        if aggregator is not None:
+            aggregator.record_batch(preds_raw_host, targets_raw, start_step=start_step)
+        if writer is not None:
+            writer.append(preds_raw_host, targets_raw)
+        timers["writer_and_aggregator"] += time.time() - t0
+        n_done += n_steps
+        if verbose:
+            el = time.time() - t_start
+            print(
+                f"[rollout] steps {n_done}/{cfg.n_forward_steps} "
+                f"({n_done / el:.2f} steps/s)", flush=True,
+            )
+
+    duration = time.time() - t_start
+    summary = {
+        "n_forward_steps": n_done,
+        "duration_s": duration,
+        "total_steps_per_second": n_done * cfg.n_ensemble / duration,
+        **{f"time/{k}": v for k, v in timers.items()},
+    }
+    return summary
+
+
+def exp_forcing_normalizer(exp) -> StandardNormalizer:
+    if getattr(exp, "forcing_normalizer", None) is not None:
+        return exp.forcing_normalizer
+    raise ValueError("experiment has no forcing normalizer but forcings requested")

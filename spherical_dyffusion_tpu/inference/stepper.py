@@ -1,0 +1,197 @@
+"""DYffusion multi-step stepper: the jitted autoregressive window kernel.
+
+TPU-first re-design of the reference MultiStepStepper
+(src/ace_inference/core/stepper_multistep.py:80-466). The reference loops
+python-side over every forecast step, re-packing dicts and re-entering the
+module; here an entire ``forward_steps_in_memory`` window is ONE compiled XLA
+program: a ``lax.scan`` over autoregressive segments whose body is the full
+DYffusion cold-sampling loop, with the prescriber overwrite fused in. The
+ensemble dimension is plain batch (vmap-free tiling) and shardable over the
+mesh; all stochasticity is explicit rng.
+
+Semantics pinned to the reference hot loop (stepper_multistep.py:364-426):
+* every ``horizon`` steps a new sample_loop runs from the last (prescribed)
+  prediction; intermediate horizons are served from the same sampling pass;
+* forcings enter as ``static_condition`` at the segment's initial time
+  (stepper_multistep.py:383-386);
+* the prescriber overwrites the SST channel of every emitted step and of the
+  autoregressive hand-off (stepper_multistep.py:404-426);
+* input channels that are not predicted (e.g. HGTsfc under
+  ``hack_for_imprecise_interpolation``) are carried over from the previous
+  state (stepper_multistep.py:421-422).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import sample_loop
+from ..training.experiments import DYffusionForecastingExperiment
+from .prescriber import NullPrescriber, PackedPrescriber
+
+__all__ = ["DYffusionStepper"]
+
+
+class DYffusionStepper:
+    """Runs windows of an autoregressive rollout as single XLA programs."""
+
+    def __init__(
+        self,
+        experiment: DYffusionForecastingExperiment,
+        params,
+        prescriber: Optional[PackedPrescriber] = None,
+        use_ema_params: bool = False,
+    ):
+        self.exp = experiment
+        self.params = params
+        self.prescriber = prescriber or NullPrescriber()
+        self.horizon = experiment.cfg.horizon
+        in_names = list(experiment.in_packer.names)
+        out_names = list(experiment.out_packer.names)
+        self._out_idx = np.asarray([in_names.index(n) for n in out_names])
+        # channels of the state that are NOT predicted -> carried across steps
+        self._carry_idx = np.asarray(
+            [i for i, n in enumerate(in_names) if n not in out_names], dtype=np.int64
+        )
+        self._rollout_cache: Dict[int, Callable] = {}
+
+    # ------------------------------------------------------------------ build
+    def _build_rollout(self, n_steps: int) -> Callable:
+        """Compile a rollout over ``n_steps`` forecast steps.
+
+        n_steps = n_full * horizon + r. Full segments run under one lax.scan;
+        a trailing partial segment (r > 0) runs one more sampling pass and
+        hands off its r-th prediction, mirroring the reference behavior at
+        window boundaries (run_on_batch_multistep restarts the horizon phase
+        each window, stepper_multistep.py:364-372)."""
+        H = self.horizon
+        n_full, r = divmod(n_steps, H)
+        exp = self.exp
+        prescriber = self.prescriber
+        out_idx = jnp.asarray(self._out_idx)
+        carry_idx = jnp.asarray(self._carry_idx)
+        has_prescriber = not isinstance(prescriber, NullPrescriber)
+
+        def segment(params, x, forcing, tgt, mask, rng, handoff_step: int):
+            # x: (B, H, W, C_in) normalized state at segment start
+            out = sample_loop(
+                exp._interp_fn(),
+                exp._forecast_fn(params, deterministic=True),
+                exp.diffusion_cfg,
+                exp.sched,
+                x,
+                rng,
+                static_condition=forcing,
+            )
+            preds = jnp.stack([out.preds[h] for h in range(1, H + 1)], axis=1)
+            # preds: (B, H_steps, H, W, C_out) normalized
+            if has_prescriber:
+                preds = prescriber(preds, tgt, mask[:, None])
+            # autoregressive hand-off (reference: ar_init if present else the
+            # prediction at the hand-off step)
+            if out.ar_init is not None and handoff_step == H:
+                last = out.ar_init
+                if has_prescriber:
+                    last = prescriber(last, tgt[:, -1], mask)
+            else:
+                last = preds[:, handoff_step - 1]
+            # scatter predicted channels into the state; carry the rest
+            x_next = jnp.zeros_like(x)
+            x_next = x_next.at[..., out_idx].set(last)
+            if carry_idx.size:
+                x_next = x_next.at[..., carry_idx].set(x[..., carry_idx])
+            return x_next, preds
+
+        def rollout(params, x0, forcings, tgts, mask, rng):
+            """x0: (B, H, W, C_in) normalized initial state.
+            forcings: (n_seg_total, B, H, W, Cf) normalized forcing at segment
+                      starts (or None); n_seg_total = n_full + (r > 0).
+            tgts: (n_seg_total, B, H_steps, H, W) normalized prescribed-channel
+                  targets (zeros when no prescriber).
+            mask: (B, H, W) raw mask field (or zeros).
+            Returns (final_state, preds (B, n_steps, H, W, C_out))."""
+            keys = jax.random.split(rng, n_full + 1)
+
+            def split_seg(arr):
+                if arr is None:
+                    return None, None
+                return (arr[:n_full], arr[n_full] if r > 0 else None)
+
+            forc_full, forc_part = split_seg(forcings)
+            tgt_full, tgt_part = split_seg(tgts)
+
+            parts = []
+            x = x0
+            if n_full > 0:
+                def body(carry, xs):
+                    x, = carry
+                    forcing, tgt, key = xs
+                    x_next, preds = segment(params, x, forcing, tgt, mask, key, H)
+                    return (x_next,), preds
+
+                (x,), preds = jax.lax.scan(
+                    body, (x0,), (forc_full, tgt_full, keys[:n_full])
+                )
+                # (n_full, B, H_steps, ...) -> (B, n_full * H_steps, ...)
+                preds = jnp.moveaxis(preds, 0, 1)
+                B = preds.shape[0]
+                parts.append(preds.reshape((B, n_full * H) + preds.shape[3:]))
+            if r > 0:
+                x, preds_p = segment(params, x, forc_part, tgt_part, mask, keys[-1], r)
+                parts.append(preds_p[:, :r])
+            preds_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            return x, preds_all
+
+        return jax.jit(rollout)
+
+    def rollout_fn(self, n_steps: int) -> Callable:
+        if n_steps not in self._rollout_cache:
+            self._rollout_cache[n_steps] = self._build_rollout(n_steps)
+        return self._rollout_cache[n_steps]
+
+    # ------------------------------------------------------------------- run
+    def run_window(
+        self,
+        x0_norm: jax.Array,
+        window_forcing_norm: Optional[jax.Array],  # (B, T+1, H, W, Cf)
+        window_prescribed_target_norm: Optional[jax.Array],  # (B, T+1, H, W)
+        mask: Optional[jax.Array],  # (B, H, W)
+        rng: jax.Array,
+        n_steps: int,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Convenience wrapper: slices per-segment conditioning out of the
+        window arrays and invokes the compiled rollout."""
+        H = self.horizon
+        n_full, r = divmod(n_steps, H)
+        n_seg = n_full + (1 if r > 0 else 0)
+        B = x0_norm.shape[0]
+        if window_forcing_norm is not None:
+            # forcing at segment start times 0, H, 2H, ...
+            seg_f = jnp.stack(
+                [window_forcing_norm[:, s * H] for s in range(n_seg)], axis=0
+            )
+        else:
+            seg_f = None  # None is an empty pytree leaf for lax.scan
+        if window_prescribed_target_norm is not None:
+            # pad (edge-repeat) so the partial segment can slice H frames; the
+            # padded steps are never emitted nor used for the hand-off
+            tgt = window_prescribed_target_norm
+            need = n_seg * H + 1
+            if tgt.shape[1] < need:
+                pad = jnp.repeat(tgt[:, -1:], need - tgt.shape[1], axis=1)
+                tgt = jnp.concatenate([tgt, pad], axis=1)
+            seg_t = jnp.stack(
+                [tgt[:, s * H + 1 : s * H + H + 1] for s in range(n_seg)], axis=0
+            )
+        else:
+            seg_t = jnp.zeros((n_seg, B, H) + x0_norm.shape[1:3], x0_norm.dtype)
+        if mask is None:
+            mask = jnp.zeros(x0_norm.shape[:3], x0_norm.dtype)
+        fn = self.rollout_fn(n_steps)
+        return fn(self.params, x0_norm, seg_f, seg_t, mask, rng)

@@ -1,0 +1,171 @@
+"""Rollout output writers (netCDF via h5py).
+
+Equivalents of the reference data writers
+(src/ace_inference/inference/data_writer/main.py:19-187, prediction writer,
+histogram writer, time-coarsening wrapper). Files are HDF5-backed netCDF4
+with appendable time dimensions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+__all__ = ["PredictionWriter", "HistogramWriter", "TimeCoarsen", "DataWriterConfig", "DataWriter"]
+
+
+class PredictionWriter:
+    """Appends predicted (and optionally target) fields to a netCDF-style
+    HDF5 file with an unlimited time axis (reference PredictionDataWriter)."""
+
+    def __init__(self, path: str, names: Sequence[str], lat: np.ndarray, lon: np.ndarray,
+                 n_ensemble: int = 1, save_targets: bool = False):
+        if h5py is None:
+            raise RuntimeError("h5py required for writing predictions")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.names = list(names)
+        self.save_targets = save_targets
+        self.f = h5py.File(path, "w")
+        self.f.create_dataset("lat", data=np.asarray(lat))
+        self.f.create_dataset("lon", data=np.asarray(lon))
+        H, W = len(lat), len(lon)
+        self._dsets = {}
+        for n in self.names:
+            self._dsets[n] = self.f.create_dataset(
+                n, shape=(n_ensemble, 0, H, W), maxshape=(n_ensemble, None, H, W),
+                dtype="f4", chunks=(1, 1, H, W), compression=None,
+            )
+            if save_targets:
+                self._dsets["target_" + n] = self.f.create_dataset(
+                    "target_" + n, shape=(0, H, W), maxshape=(None, H, W),
+                    dtype="f4", chunks=(1, H, W),
+                )
+        self._t = 0
+
+    def append(self, preds: np.ndarray, targets: Optional[np.ndarray] = None):
+        """preds: (E, T, H, W, C); targets: (T, H, W, C)."""
+        preds = np.asarray(preds)
+        T = preds.shape[1]
+        for i, n in enumerate(self.names):
+            d = self._dsets[n]
+            d.resize(self._t + T, axis=1)
+            d[:, self._t : self._t + T] = preds[..., i]
+            if self.save_targets and targets is not None:
+                dt = self._dsets["target_" + n]
+                dt.resize(self._t + T, axis=0)
+                dt[self._t : self._t + T] = np.asarray(targets)[..., i]
+        self._t += T
+
+    def close(self):
+        self.f.close()
+
+
+class HistogramWriter:
+    """Running per-variable histograms of predictions (reference
+    HistogramDataWriter / DynamicHistogram, histogram.py:9)."""
+
+    def __init__(self, names: Sequence[str], n_bins: int = 300):
+        self.names = list(names)
+        self.n_bins = n_bins
+        self._ranges: Dict[str, tuple] = {}
+        self._counts: Dict[str, np.ndarray] = {}
+
+    def append(self, preds: np.ndarray, targets=None):
+        preds = np.asarray(preds)
+        for i, n in enumerate(self.names):
+            v = preds[..., i].ravel()
+            lo, hi = float(v.min()), float(v.max())
+            if n not in self._ranges:
+                span = (hi - lo) or 1.0
+                self._ranges[n] = (lo - 0.1 * span, hi + 0.1 * span)
+                self._counts[n] = np.zeros(self.n_bins, np.int64)
+            c, _ = np.histogram(v, bins=self.n_bins, range=self._ranges[n])
+            self._counts[n] += c
+
+    def histogram(self, name: str):
+        lo, hi = self._ranges[name]
+        edges = np.linspace(lo, hi, self.n_bins + 1)
+        return self._counts[name], edges
+
+    def save(self, path: str):
+        with h5py.File(path, "w") as f:
+            for n in self.names:
+                if n in self._counts:
+                    c, e = self.histogram(n)
+                    f.create_dataset(f"{n}_counts", data=c)
+                    f.create_dataset(f"{n}_edges", data=e)
+
+    def close(self):
+        pass
+
+
+class TimeCoarsen:
+    """Wraps a writer, averaging every ``factor`` consecutive steps
+    (reference data_writer/time_coarsen.py)."""
+
+    def __init__(self, writer, factor: int):
+        self.writer = writer
+        self.factor = factor
+        self._buffer = None
+
+    def append(self, preds: np.ndarray, targets: Optional[np.ndarray] = None):
+        preds = np.asarray(preds)
+        if self._buffer is not None:
+            preds = np.concatenate([self._buffer, preds], axis=1)
+            self._buffer = None
+        T = preds.shape[1]
+        n_full = T // self.factor
+        rem = T - n_full * self.factor
+        if rem:
+            self._buffer = preds[:, T - rem :]
+            preds = preds[:, : T - rem]
+        if n_full:
+            E = preds.shape[0]
+            coarse = preds.reshape((E, n_full, self.factor) + preds.shape[2:]).mean(axis=2)
+            self.writer.append(coarse)
+
+    def close(self):
+        self.writer.close()
+
+
+@dataclasses.dataclass
+class DataWriterConfig:
+    """Mirrors reference DataWriterConfig (data_writer/main.py)."""
+
+    save_prediction_files: bool = False
+    save_histogram_files: bool = False
+    time_coarsen_factor: Optional[int] = None
+
+
+class DataWriter:
+    """Composes the configured writers (reference data_writer/main.py:65)."""
+
+    def __init__(self, cfg: DataWriterConfig, out_dir: str, names, lat, lon,
+                 n_ensemble: int = 1):
+        self.writers = []
+        if cfg.save_prediction_files:
+            w = PredictionWriter(
+                os.path.join(out_dir, "autoregressive_predictions.nc"),
+                names, lat, lon, n_ensemble,
+            )
+            if cfg.time_coarsen_factor:
+                w = TimeCoarsen(w, cfg.time_coarsen_factor)
+            self.writers.append(w)
+        if cfg.save_histogram_files:
+            self.writers.append(HistogramWriter(names))
+
+    def append(self, preds, targets=None):
+        for w in self.writers:
+            w.append(preds, targets)
+
+    def close(self):
+        for w in self.writers:
+            w.close()

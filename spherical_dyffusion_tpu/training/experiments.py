@@ -216,6 +216,8 @@ class DYffusionForecastingExperiment:
         in_packer: Packer,
         out_packer: Packer,
         normalizer: StandardNormalizer,
+        forcing_names: Sequence[str] = (),
+        forcing_normalizer: Optional[StandardNormalizer] = None,
     ):
         if diffusion_cfg.timesteps != cfg.horizon:
             raise ValueError("diffusion timesteps must equal horizon "
@@ -229,6 +231,8 @@ class DYffusionForecastingExperiment:
         self.in_packer = in_packer
         self.out_packer = out_packer
         self.normalizer = normalizer
+        self.forcing_names = tuple(forcing_names)
+        self.forcing_normalizer = forcing_normalizer
         self.criterion = get_loss_fn(cfg.loss_function)
         self._out_idx = _out_indices(in_packer, out_packer)
 
