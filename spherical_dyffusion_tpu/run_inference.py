@@ -1,0 +1,123 @@
+"""Inference CLI: YAML config -> autoregressive rollout with metrics/writers.
+
+Equivalent of the reference run_inference.py + inference/inference.py:206-324:
+loads a checkpoint (rebuilding the experiment from the embedded config with
+optional ``overrides:`` deep-merged in), constructs aggregators and data
+writers, runs the windowed rollout and reports steps/sec + metric logs.
+
+Usage:
+    python -m spherical_dyffusion_tpu.run_inference config.yaml [k=v ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+
+def main_from_config(cfg: dict) -> dict:
+    import jax
+
+    if cfg.get("platform"):
+        jax.config.update("jax_platforms", str(cfg["platform"]))
+
+    from .data.datasets import NetCDFTimeSeries, SyntheticTimeSeries
+    from .evaluation.aggregators import InferenceAggregator
+    from .inference import (
+        DataWriter,
+        DataWriterConfig,
+        DYffusionStepper,
+        InferenceConfig,
+        PrescriberConfig,
+        run_inference,
+    )
+    from .interface import load_experiment_checkpoint
+
+    ckpt_path = cfg["checkpoint_path"]
+    exp, params, ema_params, full_cfg = load_experiment_checkpoint(
+        ckpt_path, overrides=cfg.get("overrides")
+    )
+    use_params = ema_params if (cfg.get("use_ema", True) and ema_params is not None) else params
+
+    prescriber = None
+    p_cfg = cfg.get("prescriber") or full_cfg.get("datamodule", {}).get("prescriber")
+    mask_name = None
+    if p_cfg:
+        pc = PrescriberConfig(
+            prescribed_name=p_cfg["prescribed_name"], mask_name=p_cfg["mask_name"],
+            mask_value=p_cfg.get("mask_value", 1),
+            interpolate=p_cfg.get("interpolate", False),
+        )
+        prescriber = pc.build(list(exp.out_packer.names))
+        mask_name = pc.mask_name
+
+    stepper = DYffusionStepper(exp, use_params, prescriber=prescriber)
+
+    loader_cfg = cfg.get("validation_loader", {})
+    data_path = loader_cfg.get("dataset", {}).get("data_path")
+    if data_path and os.path.exists(data_path):
+        source = NetCDFTimeSeries(data_path)
+    else:
+        # synthetic fallback for smoke runs without the FV3GFS dataset
+        names = list(dict.fromkeys(
+            list(exp.in_packer.names) + list(exp.forcing_names)
+            + ([mask_name] if mask_name else [])
+        ))
+        source = SyntheticTimeSeries(
+            names, n_timesteps=int(cfg.get("forward_steps_in_memory", 50)) + 1,
+            spatial_shape=exp.model.cfg.img_shape,
+        )
+
+    icfg = InferenceConfig(
+        n_forward_steps=int(cfg.get("n_forward_steps", 100)),
+        forward_steps_in_memory=int(cfg.get("forward_steps_in_memory", 50)),
+        n_ensemble=int(cfg.get("n_ensemble", 1)),
+        n_repeats=int(loader_cfg.get("dataset", {}).get("n_repeats", 1) or 1)
+        if data_path else max(4, int(cfg.get("n_forward_steps", 100))),
+        seed=int(cfg.get("seed", 0)),
+    )
+
+    out_dir = cfg.get("experiment_dir", "results/inference")
+    os.makedirs(out_dir, exist_ok=True)
+    hc = source.horizontal
+    agg = InferenceAggregator(
+        list(exp.out_packer.names), hc.area_weights(),
+        log_zonal_mean_images=bool(cfg.get("log_zonal_mean_images", True)),
+    )
+    w_cfg = cfg.get("data_writer", {})
+    writer = DataWriter(
+        DataWriterConfig(
+            save_prediction_files=bool(w_cfg.get("save_prediction_files", False)),
+            save_histogram_files=bool(w_cfg.get("save_histogram_files", False)),
+            time_coarsen_factor=w_cfg.get("time_coarsen_factor"),
+        ),
+        out_dir, list(exp.out_packer.names), hc.lat, hc.lon, icfg.n_ensemble,
+    )
+
+    summary = run_inference(
+        stepper, source, icfg, aggregator=agg, writer=writer,
+        mask_name=mask_name, verbose=bool(cfg.get("verbose", True)),
+    )
+    writer.close()
+    logs = agg.get_logs()
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump({**summary, **logs}, f, indent=1)
+    print(json.dumps({k: round(float(v), 5) for k, v in summary.items()}))
+    return {"summary": summary, "logs": logs, "aggregator": agg}
+
+
+def main(argv: Optional[List[str]] = None):
+    from .utils.config import load_config
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        raise SystemExit("usage: run_inference <config.yaml> [k=v ...]")
+    cfg = load_config(argv[0], argv[1:])
+    main_from_config(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Training CLI.
+
+Equivalent of the reference run.py + src/train.py:21-187: seeds, builds
+datamodule/experiment/trainer from a composed YAML config, fits, and writes
+checkpoints with the config embedded. Supports resume from ``last.ckpt``
+(reference auto-resume via wandb, config_utils.py:83) and graceful
+checkpoint-on-signal ("melk", reference train.py:137-147).
+
+Usage:
+    python -m spherical_dyffusion_tpu.train [config.yaml] [k=v ...]
+    python run.py experiment=debug_interpolation trainer.epochs=2
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def run_model(config_path: Optional[str], overrides: List[str]) -> dict:
+    from .interface import get_datamodule, get_experiment, save_experiment_checkpoint
+    from .training import Trainer, TrainerConfig
+    from .utils.config import apply_dotlist, load_config
+
+    default_cfg = os.path.join(os.path.dirname(__file__), "configs", "main.yaml")
+    # hydra-style: `experiment=<name>` loads configs/experiment/<name>.yaml
+    exp_override = [o for o in overrides if o.startswith("experiment=")]
+    plain_overrides = [o for o in overrides if not o.startswith("experiment=")]
+    path = config_path or default_cfg
+    if exp_override:
+        name = exp_override[-1].split("=", 1)[1]
+        cand = os.path.join(os.path.dirname(default_cfg), "experiment", f"{name}.yaml")
+        if os.path.exists(cand):
+            path = cand
+        else:
+            plain_overrides.append(exp_override[-1])
+    cfg = load_config(path, plain_overrides)
+
+    if cfg.get("platform"):  # e.g. platform=cpu for debug runs
+        import jax
+
+        jax.config.update("jax_platforms", str(cfg["platform"]))
+
+    seed = int(cfg.get("seed", 0))
+    np.random.seed(seed)
+
+    dm = get_datamodule(cfg)
+    exp = get_experiment(cfg, dm)
+    tr_cfg_dict = cfg.get("trainer", {})
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(TrainerConfig)}
+    trainer = Trainer(exp, dm, TrainerConfig(
+        **{k: v for k, v in tr_cfg_dict.items() if k in fields}
+    ))
+
+    ckpt_dir = cfg.get("ckpt_dir", "checkpoints")
+    ckpt_path = os.path.join(ckpt_dir, f"{cfg.get('name', 'run')}_last.ckpt")
+
+    # "melk": dump a checkpoint on SIGUSR1 or on exceptions (reference
+    # train.py:137-147, utils.py:480-501)
+    def melk(*_):
+        if hasattr(trainer, "state"):
+            save_experiment_checkpoint(ckpt_path, trainer.state, cfg)
+            print(f"[melk] checkpoint saved to {ckpt_path}", flush=True)
+
+    try:
+        signal.signal(signal.SIGUSR1, melk)
+    except (ValueError, AttributeError):
+        pass  # not on main thread / platform without SIGUSR1
+
+    try:
+        history = trainer.fit(verbose=bool(cfg.get("verbose", True)))
+    except Exception:
+        melk()
+        raise
+    save_experiment_checkpoint(ckpt_path, trainer.state, cfg)
+    print(f"checkpoint: {ckpt_path}")
+    return {"history": history, "ckpt_path": ckpt_path, "trainer": trainer, "config": cfg}
+
+
+def main(argv: Optional[List[str]] = None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_path = None
+    if argv and argv[0].endswith(".yaml"):
+        config_path = argv.pop(0)
+    run_model(config_path, argv)
+
+
+if __name__ == "__main__":
+    main()
