@@ -7,6 +7,8 @@ from .dyffusion import (
     predict_x_last,
     q_sample,
     sample_loop,
+    sample_loop_scan,
+    scan_compatible,
 )
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "predict_x_last",
     "q_sample",
     "sample_loop",
+    "sample_loop_scan",
+    "scan_compatible",
 ]

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion import sample_loop
+from ..diffusion import sample_loop, sample_loop_scan, scan_compatible
 from ..training.experiments import DYffusionForecastingExperiment
 from .prescriber import NullPrescriber, PackedPrescriber
 
@@ -78,9 +78,17 @@ class DYffusionStepper:
         carry_idx = jnp.asarray(self._carry_idx)
         has_prescriber = not isinstance(prescriber, NullPrescriber)
 
+        # the scan-form sampler compiles ~5x faster and is mathematically
+        # identical for the default (released-model) configuration
+        sampler = (
+            sample_loop_scan
+            if scan_compatible(exp.diffusion_cfg, exp.sched)
+            else sample_loop
+        )
+
         def segment(params, x, forcing, tgt, mask, rng, handoff_step: int):
             # x: (B, H, W, C_in) normalized state at segment start
-            out = sample_loop(
+            out = sampler(
                 exp._interp_fn(),
                 exp._forecast_fn(params, deterministic=True),
                 exp.diffusion_cfg,

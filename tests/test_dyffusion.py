@@ -185,3 +185,34 @@ def test_hack_channel_shims():
     for h, p in out.preds.items():
         assert p.shape[-1] == C - 1, h
     assert out.x_last.shape[-1] == C - 1
+
+
+def test_scan_sampler_matches_unrolled_in_exact_world():
+    from spherical_dyffusion_tpu.diffusion import sample_loop_scan, scan_compatible
+
+    horizon = 6
+    cfg, sched = make(timesteps=horizon)
+    assert scan_compatible(cfg, sched)
+    x0, v, x_last, interpolate_fn, forecast_fn = _exact_world(horizon)
+    out_a = sample_loop(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    out_b = sample_loop_scan(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    assert set(out_a.preds) == set(out_b.preds)
+    for h in out_a.preds:
+        np.testing.assert_allclose(
+            np.asarray(out_a.preds[h]), np.asarray(out_b.preds[h]), atol=1e-4, err_msg=str(h)
+        )
+    np.testing.assert_allclose(np.asarray(out_a.x_last), np.asarray(out_b.x_last), atol=1e-4)
+
+
+def test_scan_sampler_with_artificial_steps():
+    from spherical_dyffusion_tpu.diffusion import sample_loop_scan, scan_compatible
+
+    cfg, sched = make({"additional_interpolation_steps": 2}, timesteps=4)
+    assert scan_compatible(cfg, sched)
+    x0, v, x_last, interpolate_fn, forecast_fn = _exact_world(4)
+    out = sample_loop_scan(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    assert set(out.preds) == {1, 2, 3, 4}
+    for h in range(1, 5):
+        np.testing.assert_allclose(
+            np.asarray(out.preds[h]), np.asarray(x0 + v * h), atol=1e-4
+        )
