@@ -196,7 +196,9 @@ def load_experiment_checkpoint(
     deep-merging ``overrides`` into the stored config (the reference inference
     'overrides:' mechanism, stepper_multistep.py:244)."""
     from .utils.config import deep_update
+    from .utils.checkpointing import resolve_checkpoint_path
 
+    path = resolve_checkpoint_path(path)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     config = json.loads(payload["config_json"])

@@ -73,11 +73,17 @@ def run_model(config_path: Optional[str], overrides: List[str]) -> dict:
     except (ValueError, AttributeError):
         pass  # not on main thread / platform without SIGUSR1
 
+    from .utils.loggers import make_logger
+
+    logger = make_logger(cfg, out_dir=cfg.get("log_dir", "logs"))
+    logger.log_hyperparams(cfg)
     try:
-        history = trainer.fit(verbose=bool(cfg.get("verbose", True)))
+        history = trainer.fit(verbose=bool(cfg.get("verbose", True)), logger=logger)
     except Exception:
         melk()
         raise
+    finally:
+        logger.finish()
     save_experiment_checkpoint(ckpt_path, trainer.state, cfg)
     print(f"checkpoint: {ckpt_path}")
     return {"history": history, "ckpt_path": ckpt_path, "trainer": trainer, "config": cfg}

@@ -177,6 +177,7 @@ class Trainer:
         epochs: Optional[int] = None,
         val_every: int = 1,
         verbose: bool = True,
+        logger=None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
@@ -198,17 +199,33 @@ class Trainer:
                 # fetch to host immediately: eager ops over multi-device arrays
                 # can deadlock XLA-CPU collectives on the virtual test mesh
                 losses.append(float(metrics["loss"]))
+                if logger is not None and step % cfg.log_every == 0:
+                    logger.log(
+                        {"train/loss": losses[-1],
+                         "train/grad_norm": float(metrics.get("grad_norm", 0.0))},
+                        step=step,
+                    )
                 step += 1
+            epoch_s = time.time() - t0
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             history["train_loss"].append(mean_loss)
+            if logger is not None:
+                logger.log(
+                    {"train/epoch_loss": mean_loss, "train/epoch_time_s": epoch_s,
+                     "train/steps_per_sec": (len(losses) / epoch_s) if epoch_s else 0.0,
+                     "epoch": epoch},
+                    step=step,
+                )
             if verbose:
                 print(
                     f"epoch {epoch}: train/loss={mean_loss:.5f} "
-                    f"({time.time() - t0:.1f}s, {step} steps)"
+                    f"({epoch_s:.1f}s, {step} steps)"
                 )
             if (epoch + 1) % val_every == 0 and hasattr(self, "validate"):
                 val = self.validate(state)
                 history["val"].append(val)
+                if logger is not None and val:
+                    logger.log(val, step=step)
                 if verbose and val:
                     head = {k: round(float(v), 5) for k, v in list(val.items())[:4]}
                     print(f"epoch {epoch}: {head}")

@@ -1,0 +1,90 @@
+"""Checkpoint path resolution and distribution channels.
+
+Equivalent of the reference checkpoint plumbing
+(src/utilities/checkpointing.py:22-154: local dirs, ``hf:`` HuggingFace Hub
+prefix with typed cache dirs, wandb run-dir search; s3utils.py for S3).
+Network channels are optional: each is import-gated and raises a clear error
+when unavailable (this environment has no egress).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+__all__ = ["resolve_checkpoint_path", "download_from_hf", "find_checkpoint_in_dir",
+            "S3Client"]
+
+HF_PREFIX = "hf:"
+DEFAULT_CACHE = os.path.expanduser("~/.cache/spherical_dyffusion_tpu")
+
+
+def resolve_checkpoint_path(path: str, cache_dir: Optional[str] = None) -> str:
+    """Resolve a checkpoint spec to a local file path.
+
+    Supports:
+      * plain local paths,
+      * ``hf:org/repo/filename.ckpt`` -> HuggingFace Hub download
+        (reference checkpointing.py:99-154),
+      * directories -> newest ``*.ckpt`` inside (wandb-run-dir style search,
+        checkpointing.py:22-98).
+    """
+    if path.startswith(HF_PREFIX):
+        return download_from_hf(path[len(HF_PREFIX):], cache_dir=cache_dir)
+    if os.path.isdir(path):
+        found = find_checkpoint_in_dir(path)
+        if found is None:
+            raise FileNotFoundError(f"No *.ckpt under {path}")
+        return found
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    return path
+
+
+def find_checkpoint_in_dir(d: str, pattern: str = "*.ckpt") -> Optional[str]:
+    cands = sorted(glob.glob(os.path.join(d, "**", pattern), recursive=True),
+                   key=os.path.getmtime)
+    return cands[-1] if cands else None
+
+
+def download_from_hf(spec: str, cache_dir: Optional[str] = None) -> str:
+    """``org/repo/filename`` -> local cached file via huggingface_hub."""
+    parts = spec.split("/")
+    if len(parts) < 3:
+        raise ValueError(f"hf spec must be org/repo/filename, got {spec!r}")
+    repo_id = "/".join(parts[:2])
+    filename = "/".join(parts[2:])
+    cache_dir = cache_dir or os.path.join(DEFAULT_CACHE, "hf")
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("huggingface_hub is not installed; cannot resolve hf: paths") from e
+    return hf_hub_download(repo_id=repo_id, filename=filename, cache_dir=cache_dir)
+
+
+class S3Client:
+    """Minimal S3 helper (reference s3utils.py boto3 list/upload/download),
+    import-gated on boto3."""
+
+    def __init__(self, bucket: str):
+        try:
+            import boto3
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("boto3 is not installed; S3 checkpointing unavailable") from e
+        self.bucket = bucket
+        self._s3 = boto3.client("s3")
+
+    def upload(self, local_path: str, key: str):
+        self._s3.upload_file(local_path, self.bucket, key)
+
+    def download(self, key: str, local_path: str):
+        os.makedirs(os.path.dirname(local_path) or ".", exist_ok=True)
+        self._s3.download_file(self.bucket, key, local_path)
+
+    def list(self, prefix: str = ""):
+        resp = self._s3.list_objects_v2(Bucket=self.bucket, Prefix=prefix)
+        return [o["Key"] for o in resp.get("Contents", [])]
+
+    def delete(self, key: str):
+        self._s3.delete_object(Bucket=self.bucket, Key=key)

@@ -95,3 +95,43 @@ def test_rmse_of_time_mean():
     noise -= noise.mean(axis=0, keepdims=True)
     p = t + jnp.asarray(noise)
     assert float(M.rmse_of_time_mean(t, p)) < 1e-5
+
+
+def test_video_aggregator_running_moments():
+    from spherical_dyffusion_tpu.evaluation.video import VideoAggregator
+
+    rng = np.random.default_rng(0)
+    agg = VideoAggregator(["a"], enable_variance=True)
+    E, T, H, W = 4, 6, 4, 4
+    targets = rng.standard_normal((T, H, W, 1)).astype(np.float32)
+    all_preds = rng.standard_normal((E, T, H, W, 1)).astype(np.float32)
+    # record in two windows of 3 steps
+    agg.record_batch(all_preds[:, :3], targets[:3], start_step=0)
+    agg.record_batch(all_preds[:, 3:], targets[3:], start_step=3)
+    vids = agg.get_videos()
+    np.testing.assert_allclose(vids["gen_mean"], all_preds.mean(axis=0), rtol=1e-5)
+    np.testing.assert_allclose(vids["target_mean"], targets, rtol=1e-5)
+    np.testing.assert_allclose(
+        vids["gen_variance"], all_preds.var(axis=0, ddof=1), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        vids["error_mean"], all_preds.mean(axis=0) - targets, rtol=1e-4, atol=1e-6
+    )
+
+
+def test_checkpoint_path_resolution(tmp_path):
+    from spherical_dyffusion_tpu.utils.checkpointing import (
+        find_checkpoint_in_dir,
+        resolve_checkpoint_path,
+    )
+
+    p = tmp_path / "sub" / "model.ckpt"
+    p.parent.mkdir()
+    p.write_bytes(b"x")
+    assert resolve_checkpoint_path(str(p)) == str(p)
+    assert resolve_checkpoint_path(str(tmp_path)) == str(p)
+    assert find_checkpoint_in_dir(str(tmp_path)) == str(p)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        resolve_checkpoint_path(str(tmp_path / "missing.ckpt"))
