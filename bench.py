@@ -50,7 +50,7 @@ STEPS_PER_SIM_YEAR = 1460  # 6-hourly steps
 BASELINE_SIM_YEARS_PER_DAY = 25.0
 
 
-def build(embed=256, layers=8):
+def build(embed=256, layers=8, dtype="float32"):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -70,7 +70,7 @@ def build(embed=256, layers=8):
         img_shape=(H, W), in_chans=2 * C + CF, out_chans=C, embed_dim=embed,
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         dropout_mlp=0.1, drop_path_rate=0.1, min_time=1, max_time=horizon - 1,
-        data_grid="equiangular",
+        data_grid="equiangular", compute_dtype=dtype,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -78,6 +78,7 @@ def build(embed=256, layers=8):
         img_shape=(H, W), in_chans=C + CF, out_chans=C, embed_dim=embed,
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         min_time=0, max_time=horizon - 1, data_grid="equiangular",
+        compute_dtype=dtype,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -108,8 +109,9 @@ def main():
     window = int(os.environ.get("BENCH_WINDOW", 96))
     total_steps = int(os.environ.get("BENCH_STEPS", 4 * window))
     n_ensemble = int(os.environ.get("BENCH_ENSEMBLE", 1))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
-    stepper, in_names, forcing_names = build(embed, layers)
+    stepper, in_names, forcing_names = build(embed, layers, dtype)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 
@@ -131,7 +133,7 @@ def main():
         "metric": "simulated_years_per_day",
         "value": round(sim_years_per_day, 3),
         "unit": "sim-years/day (10-yr FV3GFS rollout config, SFNO-DYffusion "
-                f"embed{embed}x{layers}, window {window}, ensemble {n_ensemble}; "
+                f"embed{embed}x{layers} {dtype}, window {window}, ensemble {n_ensemble}; "
                 f"steps/s {sps:.3f}; compile {compile_s:.0f}s)",
         "vs_baseline": round(sim_years_per_day / BASELINE_SIM_YEARS_PER_DAY, 3),
     }))

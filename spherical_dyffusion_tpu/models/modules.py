@@ -9,7 +9,7 @@ matmul with channels in the lane dimension.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -54,15 +54,17 @@ class InstanceNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)  # fp32 statistics under mixed precision
+        mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
         # biased variance, matching torch InstanceNorm
-        var = jnp.mean(jnp.square(x - mean), axis=(-3, -2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        var = jnp.mean(jnp.square(xf - mean), axis=(-3, -2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y * scale + bias
-        return y
+        return y.astype(dtype)
 
 
 class SpatialLayerNorm(nn.Module):
@@ -95,15 +97,18 @@ class MLP2d(nn.Module):
     out_features: int
     activation: str = "gelu"
     drop_rate: float = 0.0
+    dtype: Any = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         act = get_activation(self.activation)
-        x = nn.Dense(self.hidden_features, kernel_init=nn.initializers.truncated_normal(0.02))(x)
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     kernel_init=nn.initializers.truncated_normal(0.02))(x)
         x = act(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_features, kernel_init=nn.initializers.truncated_normal(0.02))(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     kernel_init=nn.initializers.truncated_normal(0.02))(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         return x

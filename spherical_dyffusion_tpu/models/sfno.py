@@ -79,6 +79,10 @@ class SFNOConfig:
     # spectral attention (filter_type == "non-linear")
     spectral_layers: int = 3
     complex_activation: str = "real"
+    # mixed precision: activations/matmuls in this dtype, SHT pinned to fp32
+    # (matching the reference's fp32-forced transforms under autocast,
+    # s2convolutions.py:164-191); params stay float32
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
     # debug mode shrinks the model like the reference (sfnonet.py:468-471)
     debug_mode: bool = False
 
@@ -304,7 +308,7 @@ class FNOBlock(nn.Module):
         x_f, residual = filt(x_norm)
 
         # inner skip: 1x1 conv on the filter residual (reference inner_skip="linear")
-        inner = nn.Dense(cfg.embed_dim, name="inner_skip",
+        inner = nn.Dense(cfg.embed_dim, name="inner_skip", dtype=jnp.dtype(cfg.compute_dtype),
                          kernel_init=nn.initializers.truncated_normal(0.02))(residual)
         x = x_f + inner
 
@@ -322,6 +326,7 @@ class FNOBlock(nn.Module):
                 out_features=cfg.embed_dim,
                 activation=cfg.activation_function,
                 drop_rate=cfg.dropout_mlp,
+                dtype=jnp.dtype(cfg.compute_dtype),
                 name="mlp",
             )(x, deterministic=deterministic)
 
@@ -354,20 +359,22 @@ class SFNO(nn.Module):
         cfg = self.cfg.resolved()
         act = get_activation(cfg.activation_function)
         trans_down, itrans_up, trans, itrans = _build_transforms(cfg)
+        compute = jnp.dtype(cfg.compute_dtype)
 
         # condition concat (reference _base_model.py:166-192)
         conds = [c for c in (condition, static_condition) if c is not None]
         x = jnp.concatenate([inputs] + conds, axis=-1) if conds else inputs
+        x = x.astype(compute)
         in_chans = x.shape[-1]
 
         big_skip = x if cfg.big_skip else None
 
         # encoder: Dense(+bias) -> act -> ... -> Dense(no bias)
         for i in range(cfg.encoder_layers):
-            x = nn.Dense(cfg.embed_dim, name=f"encoder_{i}",
+            x = nn.Dense(cfg.embed_dim, name=f"encoder_{i}", dtype=compute,
                          kernel_init=nn.initializers.truncated_normal(0.02))(x)
             x = act(x)
-        x = nn.Dense(cfg.embed_dim, use_bias=False, name="encoder_out",
+        x = nn.Dense(cfg.embed_dim, use_bias=False, name="encoder_out", dtype=compute,
                      kernel_init=nn.initializers.truncated_normal(0.02))(x)
 
         if cfg.pos_embed:
@@ -419,9 +426,9 @@ class SFNO(nn.Module):
 
         # decoder head (reference get_head, sfnonet.py:734-744)
         for i in range(cfg.encoder_layers):
-            x = nn.Dense(cfg.embed_dim, name=f"decoder_{i}",
+            x = nn.Dense(cfg.embed_dim, name=f"decoder_{i}", dtype=compute,
                          kernel_init=nn.initializers.truncated_normal(0.02))(x)
             x = act(x)
-        x = nn.Dense(cfg.out_chans, use_bias=False, name="decoder_out",
+        x = nn.Dense(cfg.out_chans, use_bias=False, name="decoder_out", dtype=compute,
                      kernel_init=nn.initializers.truncated_normal(0.02))(x)
-        return x
+        return x.astype(jnp.float32)

@@ -119,3 +119,17 @@ def test_debug_mode_shrinks():
     params = model.init(jax.random.PRNGKey(0), x)
     assert "block_3" not in params["params"]
     assert params["params"]["encoder_out"]["kernel"].shape[-1] == 16
+
+
+def test_bfloat16_compute_close_to_fp32():
+    cfg32 = tiny_cfg()
+    cfg16 = tiny_cfg(compute_dtype="bfloat16")
+    m32, m16 = SFNO(cfg32), SFNO(cfg16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16, 32, 3)), jnp.float32)
+    params = m32.init(jax.random.PRNGKey(0), x)
+    y32 = m32.apply(params, x)
+    y16 = m16.apply(params, x)  # same fp32 params, bf16 activations
+    assert y16.dtype == jnp.float32  # output cast back
+    err = float(jnp.max(jnp.abs(y16 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-8))
+    assert err < 0.1, err
+    assert np.isfinite(np.asarray(y16)).all()
