@@ -275,15 +275,21 @@ class WindowedDataset:
         return i * self.stride
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        from ..utils.native import pack_normalize
+
         start = self._start_index(i)
         total = self.window + self.horizon
         names = list(self.in_names) + [n for n in self.forcing_names if n not in self.in_names]
         raw = self.source.read_window(start, total, names)
-        dynamics = np.stack([raw[n] for n in self.in_names], axis=-1).astype(np.float32)
+        # native threaded pack (+fused normalize) with transparent numpy fallback
+        dynamics = pack_normalize([raw[n] for n in self.in_names])
         out = {"dynamics": dynamics}
         if self.forcing_names:
-            forcing = np.stack([raw[n] for n in self.forcing_names], axis=-1).astype(np.float32)
-            if self.forcing_normalizer is not None:
-                forcing = np.asarray(self.forcing_normalizer.normalize(forcing))
+            fn = self.forcing_normalizer
+            forcing = pack_normalize(
+                [raw[n] for n in self.forcing_names],
+                means=np.asarray(fn.means) if fn is not None else None,
+                stds=np.asarray(fn.stds) if fn is not None else None,
+            )
             out["dynamical_condition"] = forcing
         return out

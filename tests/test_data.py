@@ -127,3 +127,24 @@ def test_debug_datamodule_batches():
     assert dm.horizon_for_split("train") == 4
     w = dm.grid.horizontal.area_weights()
     assert np.isclose(float(jnp.sum(w)), 1.0, atol=1e-5)
+
+
+def test_native_pack_normalize_matches_numpy():
+    from spherical_dyffusion_tpu.utils.native import (
+        build_library,
+        native_available,
+        pack_normalize,
+    )
+
+    assert build_library() is not None, "native toolchain should build the packer"
+    assert native_available()
+    rng = np.random.default_rng(0)
+    arrays = [rng.standard_normal((5, 8, 16)).astype(np.float32) for _ in range(3)]
+    means = np.asarray([0.5, -1.0, 2.0], np.float32)
+    stds = np.asarray([2.0, 0.5, 1.0], np.float32)
+    got = pack_normalize(arrays, means, stds, n_threads=2)
+    want = (np.stack(arrays, axis=-1) - means) / stds
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # unnormalized path
+    got2 = pack_normalize(arrays)
+    np.testing.assert_array_equal(got2, np.stack(arrays, axis=-1))
