@@ -174,10 +174,19 @@ def save_experiment_checkpoint(path: str, state, config: Dict[str, Any]):
     be rebuilt from the file (reference on_save_checkpoint embeds hparams,
     _base_experiment.py:1244-1259)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def strip_constants(tree):
+        # "constants" (SHT matrices etc.) are regenerated at load time; saving
+        # them would add ~100MB+ of redundant data per checkpoint
+        got = jax.device_get(tree)
+        if isinstance(got, dict) and "constants" in got:
+            got = {k: v for k, v in got.items() if k != "constants"}
+        return serialization.to_state_dict(got)
+
     payload = {
-        "params": serialization.to_state_dict(jax.device_get(state.params)),
+        "params": strip_constants(state.params),
         "ema_params": (
-            serialization.to_state_dict(jax.device_get(state.ema.params))
+            strip_constants(state.ema.params)
             if getattr(state, "ema", None) is not None else None
         ),
         "step": int(state.step),
@@ -224,4 +233,12 @@ def _restore_params(exp, dm, state_dict):
     dyn = jnp.asarray(batch["dynamics"][:1])
     dyn = exp.normalizer.normalize(dyn)
     template = tr._init_params(jax.random.PRNGKey(0), dyn, batch)
+    # constants were stripped at save; restore trainable leaves and keep the
+    # freshly-built constants from the template
+    if isinstance(template, dict) and "constants" in template:
+        restored = dict(template)
+        restored["params"] = serialization.from_state_dict(
+            template["params"], state_dict.get("params", state_dict)
+        )
+        return restored
     return serialization.from_state_dict(template, state_dict)

@@ -144,10 +144,14 @@ class SpectralConvS2(nn.Module):
     operator_type: str = "dhconv"
     separable: bool = False
     use_bias: bool = True
+    fwd_key: str = ""  # "data" | "model" | "" (no external matrices)
+    inv_key: str = ""
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def __call__(self, x: jax.Array, mats=None) -> tuple[jax.Array, jax.Array]:
         dtype = x.dtype
+        fwd_m = mats[f"analysis_{self.fwd_key}"] if (mats and self.fwd_key) else None
+        inv_m = mats[f"synthesis_{self.inv_key}"] if (mats and self.inv_key) else None
         lmax, mmax = self.forward_transform.lmax, self.forward_transform.mmax
         scale = 1.0 / (self.in_channels * self.out_channels)
         wshape = [self.in_channels]
@@ -163,17 +167,17 @@ class SpectralConvS2(nn.Module):
         )
 
         residual = x
-        xs = self.forward_transform(x.astype(jnp.float32))
+        xs = self.forward_transform(x.astype(jnp.float32), fwd_m)
         scale_residual = (
             self.forward_transform.nlat != self.inverse_transform.nlat
             or self.forward_transform.nlon != self.inverse_transform.nlon
             or self.forward_transform.grid != self.inverse_transform.grid
         )
         if scale_residual:
-            residual = self.inverse_transform(xs).astype(dtype)
+            residual = self.inverse_transform(xs, inv_m).astype(dtype)
 
         xs = contract(xs, weight, self.operator_type, self.separable)
-        out = self.inverse_transform(xs)
+        out = self.inverse_transform(xs, inv_m)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = out + bias
@@ -195,6 +199,8 @@ class SpectralAttentionS2(nn.Module):
     spectral_layers: int = 3
     complex_activation: str = "real"
     drop_rate: float = 0.0
+    fwd_key: str = ""
+    inv_key: str = ""
 
     def _complex_act(self, zr: jax.Array, zi: jax.Array):
         if self.complex_activation == "real":
@@ -204,18 +210,20 @@ class SpectralAttentionS2(nn.Module):
         raise ValueError(f"Unknown complex activation {self.complex_activation!r}")
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def __call__(self, x: jax.Array, mats=None) -> tuple[jax.Array, jax.Array]:
         dtype = x.dtype
+        fwd_m = mats[f"analysis_{self.fwd_key}"] if (mats and self.fwd_key) else None
+        inv_m = mats[f"synthesis_{self.inv_key}"] if (mats and self.inv_key) else None
         hidden = int(self.embed_dim * self.hidden_size_factor)
         residual = x
-        xs = self.forward_transform(x.astype(jnp.float32))
+        xs = self.forward_transform(x.astype(jnp.float32), fwd_m)
         scale_residual = (
             self.forward_transform.nlat != self.inverse_transform.nlat
             or self.forward_transform.nlon != self.inverse_transform.nlon
             or self.forward_transform.grid != self.inverse_transform.grid
         )
         if scale_residual:
-            residual = self.inverse_transform(xs).astype(dtype)
+            residual = self.inverse_transform(xs, inv_m).astype(dtype)
 
         zr, zi = xs.real, xs.imag
         scale = 1.0 / (self.embed_dim * hidden) ** 0.5
@@ -233,7 +241,7 @@ class SpectralAttentionS2(nn.Module):
         wr = self.param("wout_re", nn.initializers.normal(scale), (dims[-1], self.embed_dim))
         wi = self.param("wout_im", nn.initializers.normal(scale), (dims[-1], self.embed_dim))
         zr, zi = zr @ wr - zi @ wi, zr @ wi + zi @ wr
-        out = self.inverse_transform(jax.lax.complex(zr, zi))
+        out = self.inverse_transform(jax.lax.complex(zr, zi), inv_m)
         return out.astype(dtype), residual
 
 
@@ -246,6 +254,8 @@ class FNOBlock(nn.Module):
     input_shape: Tuple[int, int]
     output_shape: Tuple[int, int]
     drop_path: float = 0.0
+    fwd_key: str = ""
+    inv_key: str = ""
 
     def _norm(self, name: str, shape: Tuple[int, int]):
         cfg = self.cfg
@@ -263,6 +273,7 @@ class FNOBlock(nn.Module):
         x: jax.Array,
         time_emb: Optional[jax.Array] = None,
         deterministic: bool = True,
+        mats=None,
     ) -> jax.Array:
         cfg = self.cfg
         act = get_activation(cfg.activation_function)
@@ -289,6 +300,8 @@ class FNOBlock(nn.Module):
                 operator_type=cfg.operator_type,
                 separable=cfg.separable,
                 use_bias=True,
+                fwd_key=self.fwd_key,
+                inv_key=self.inv_key,
                 name="filter",
             )
         elif cfg.filter_type == "non-linear":
@@ -300,12 +313,14 @@ class FNOBlock(nn.Module):
                 spectral_layers=cfg.spectral_layers,
                 complex_activation=cfg.complex_activation,
                 drop_rate=cfg.dropout_filter,
+                fwd_key=self.fwd_key,
+                inv_key=self.inv_key,
                 name="filter",
             )
         else:
             raise ValueError(f"Unknown filter type {cfg.filter_type!r}")
 
-        x_f, residual = filt(x_norm)
+        x_f, residual = filt(x_norm, mats)
 
         # inner skip: 1x1 conv on the filter residual (reference inner_skip="linear")
         inner = nn.Dense(cfg.embed_dim, name="inner_skip", dtype=jnp.dtype(cfg.compute_dtype),
@@ -401,6 +416,23 @@ class SFNO(nn.Module):
                 name="time_emb",
             )(t)
 
+        # spherical-harmonic matrices live in the "constants" collection so
+        # they enter compiled programs as runtime ARGUMENTS, not embedded
+        # literals (embedded ~100MB constants break remote compilation and
+        # bloat executables). They are shared across all blocks.
+        mats = None
+        if cfg.spectral_transform == "sht":
+            mats = {
+                "analysis_data": self.variable(
+                    "constants", "sht_analysis_data", lambda: trans_down.matrix).value,
+                "synthesis_data": self.variable(
+                    "constants", "sht_synthesis_data", lambda: itrans_up.matrix).value,
+                "analysis_model": self.variable(
+                    "constants", "sht_analysis_model", lambda: trans.matrix).value,
+                "synthesis_model": self.variable(
+                    "constants", "sht_synthesis_model", lambda: itrans.matrix).value,
+            }
+
         drop_rates = [
             cfg.drop_path_rate * i / max(cfg.num_layers - 1, 1) for i in range(cfg.num_layers)
         ]
@@ -417,9 +449,11 @@ class SFNO(nn.Module):
                 input_shape=cfg.img_shape if first else cfg.model_shape,
                 output_shape=cfg.img_shape if last else cfg.model_shape,
                 drop_path=drop_rates[i],
+                fwd_key="data" if first else "model",
+                inv_key="data" if last else "model",
                 name=f"block_{i}",
             )
-            x = block(x, t_repr, deterministic)
+            x = block(x, t_repr, deterministic, mats)
 
         if cfg.big_skip:
             x = jnp.concatenate([x, big_skip], axis=-1)

@@ -59,14 +59,24 @@ class RealSHT:
         mmax = mmax if mmax is not None else nlon // 2 + 1
         return RealSHT(nlat, nlon, lmax, mmax, grid)
 
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (..., nlat, nlon, C) real -> (..., lmax, mmax, C) complex64."""
+    @property
+    def matrix(self) -> jax.Array:
+        return self._analysis
+
+    def __call__(self, x: jax.Array, matrix: jax.Array | None = None) -> jax.Array:
+        """x: (..., nlat, nlon, C) real -> (..., lmax, mmax, C) complex64.
+
+        ``matrix`` lets callers pass the (possibly traced) Legendre analysis
+        matrix as a runtime argument instead of a baked-in constant — large
+        embedded literals blow up remotely-compiled program payloads.
+        """
+        m = self._analysis if matrix is None else matrix
         x = x.astype(jnp.float32)
         # longitude FFT with 1/nlon (norm="forward"), truncate to mmax
         xf = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
         # latitude Legendre analysis: one MXU matmul batched over m
         # (..., h, m, c) x (h, l, m) -> (..., l, m, c)
-        out = jnp.einsum("...hmc,hlm->...lmc", xf, self._analysis.astype(jnp.complex64))
+        out = jnp.einsum("...hmc,hlm->...lmc", xf, m.astype(jnp.complex64))
         return out
 
 
@@ -93,11 +103,16 @@ class InverseRealSHT:
         mmax = mmax if mmax is not None else nlon // 2 + 1
         return InverseRealSHT(nlat, nlon, lmax, mmax, grid)
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    @property
+    def matrix(self) -> jax.Array:
+        return self._synthesis
+
+    def __call__(self, x: jax.Array, matrix: jax.Array | None = None) -> jax.Array:
         """x: (..., lmax, mmax, C) complex -> (..., nlat, nlon, C) real float32."""
+        m = self._synthesis if matrix is None else matrix
         x = x.astype(jnp.complex64)
         # latitude synthesis
-        xf = jnp.einsum("...lmc,hlm->...hmc", x, self._synthesis.astype(jnp.complex64))
+        xf = jnp.einsum("...lmc,hlm->...hmc", x, m.astype(jnp.complex64))
         # pad azimuthal modes up to nlon//2+1 if truncated, then Hermitian inverse FFT
         full_m = self.nlon // 2 + 1
         if self.mmax < full_m:

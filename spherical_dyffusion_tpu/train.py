@@ -61,6 +61,12 @@ def run_model(config_path: Optional[str], overrides: List[str]) -> dict:
     ckpt_dir = cfg.get("ckpt_dir", "checkpoints")
     ckpt_path = os.path.join(ckpt_dir, f"{cfg.get('name', 'run')}_last.ckpt")
 
+    # auto-resume from an existing checkpoint (reference resume-if-exists,
+    # config_utils.py:83-107; 'new' forces a fresh run)
+    if os.path.exists(ckpt_path) and cfg.get("resume", "resume") != "new":
+        trainer.restore_payload = Trainer.load_checkpoint(ckpt_path)
+        print(f"[resume] restored params from {ckpt_path}")
+
     # "melk": dump a checkpoint on SIGUSR1 or on exceptions (reference
     # train.py:137-147, utils.py:480-501)
     def melk(*_):

@@ -53,6 +53,10 @@ class TrainerConfig:
     log_every: int = 50
     ckpt_dir: Optional[str] = None
     donate_state: bool = False  # enable on real pods; see _make_train_step
+    # effective-batch bookkeeping (reference config_utils.py:644-701): global
+    # batch = batch_size * accumulate_grad_batches * data-parallel size
+    accumulate_grad_batches: int = 1
+    num_predictions: Optional[int] = None  # val ensemble size override
 
 
 class TrainState(struct.PyTreeNode):
@@ -60,6 +64,24 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     ema: Optional[EmaState]
     step: jnp.ndarray
+
+
+def _strip_constants(tree):
+    got = jax.device_get(tree)
+    if isinstance(got, dict) and "constants" in got:
+        got = {k: v for k, v in got.items() if k != "constants"}
+    return got
+
+
+def _merge_restored(template, state_dict):
+    """Load saved leaves into a template, keeping template 'constants'."""
+    if isinstance(template, dict) and "constants" in template:
+        out = dict(template)
+        out["params"] = serialization.from_state_dict(
+            template["params"], state_dict.get("params", state_dict)
+        )
+        return out
+    return serialization.from_state_dict(template, state_dict)
 
 
 def _wd_mask(params) -> Any:
@@ -96,6 +118,11 @@ class Trainer:
         dyn = self.exp.normalizer.normalize(dyn)
         rng = jax.random.PRNGKey(cfg.seed)
         params = self._init_params(rng, dyn, sample_batch)
+        restore = getattr(self, "restore_payload", None)
+        if restore is not None:
+            # auto-resume (reference resume-if-exists, config_utils.py:83);
+            # constants are stripped from checkpoints and kept from the template
+            params = _merge_restored(params, restore["params"])
         steps_per_epoch = self.cfg.steps_per_epoch or 100
         total = cfg.epochs * steps_per_epoch
         schedule = get_scheduler(cfg.scheduler, cfg.lr, total, cfg.warmup_steps)
@@ -103,8 +130,15 @@ class Trainer:
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adamw(schedule, weight_decay=cfg.weight_decay, mask=_wd_mask),
         )
-        opt_state = self.tx.init(params)
+        if cfg.accumulate_grad_batches > 1:
+            self.tx = optax.MultiSteps(self.tx, cfg.accumulate_grad_batches)
+        opt_state = self.tx.init(params.get("params", params) if isinstance(params, dict) else params)
         ema = ema_init(params) if cfg.use_ema else None
+        if restore is not None and cfg.use_ema and restore.get("ema_params"):
+            ema = EmaState(
+                params=_merge_restored(params, restore["ema_params"]),
+                count=jnp.asarray(restore.get("step", 0), jnp.int32),
+            )
         state = TrainState(params=params, opt_state=opt_state, ema=ema,
                            step=jnp.zeros((), jnp.int32))
         if self.mesh.size == 1:
@@ -145,15 +179,25 @@ class Trainer:
 
         def train_step(state: TrainState, dynamics, dynamical_condition, rng):
             dyn = exp.normalizer.normalize(dynamics)
+            variables = state.params
+            # non-trainable collections (e.g. SHT matrices in "constants") are
+            # carried in the state but excluded from differentiation/updates
+            consts = {k: v for k, v in variables.items() if k != "params"}
+            trainable = variables.get("params", variables)
 
             def loss_fn(p):
+                full = {**consts, "params": p} if consts or "params" in variables else p
                 return exp.train_loss(
-                    p, dyn, rng, dynamical_condition=dynamical_condition
+                    full, dyn, rng, dynamical_condition=dynamical_condition
                 )
 
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+            updates, opt_state = tx.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            params = (
+                {**consts, "params": new_trainable}
+                if consts or "params" in variables else new_trainable
+            )
             ema = state.ema
             if ema is not None:
                 ema = ema_update(ema, params, cfg.ema_decay)
@@ -264,49 +308,88 @@ class Trainer:
                 break
         if not rmses:
             return {}
-        return {"val/avg/rmse": float(jnp.mean(jnp.stack(rmses)))}
+        out: Dict[str, float] = {}
+        for key in rmses[0]:
+            out[f"val/avg/{key}"] = float(np.mean([r[key] for r in rmses]))
+        return out
+
+    @property
+    def _val_ensemble(self) -> int:
+        if self.cfg.num_predictions is not None:
+            return self.cfg.num_predictions
+        return getattr(self.exp.cfg, "num_predictions", 1) or 1
+
+    def _ens_metrics(self, preds_e, target, w) -> Dict[str, jax.Array]:
+        """preds_e: (E, B, H, W, C) raw; target: (B, H, W, C)."""
+        wc = w[..., None]
+        out = {
+            "rmse": jnp.mean(M.root_mean_squared_error(
+                target, jnp.mean(preds_e, 0), wc, dim=(-3, -2, -1)
+            ))
+        }
+        if preds_e.shape[0] > 1:
+            out["crps"] = jnp.mean(M.crps_ensemble(target, preds_e, wc, dim=(-3, -2, -1)))
+            out["ssr"] = jnp.mean(M.spread_skill_ratio(target, preds_e, wc, dim=(-3, -2, -1)))
+        return out
 
     def _validate_interpolation(self, params, dyn, dyn_n, cond, w):
+        """Ensemble eval over all interpolation times (reference
+        InterpolationExperiment._evaluation_step + get_ensemble_inputs)."""
         exp = self.exp
+        E = self._val_ensemble if exp.cfg.enable_inference_dropout else 1
         inputs = exp.get_inputs_from_dynamics(dyn_n)
         B = inputs.shape[0]
-        rmses = []
+        out_norm = exp.normalizer.subset(list(exp.out_packer.names))
+        tables = []
         for t_step in exp.horizon_range:
             target_time = exp.cfg.window + t_step - 1
             t = jnp.full((B,), float(t_step), jnp.float32)
             c = exp.slice_condition(cond, target_time) if cond is not None else None
-            preds_n = exp.predict(params, inputs, time=t, condition=c,
-                                  rng=jax.random.PRNGKey(t_step),
-                                  use_inference_dropout=exp.cfg.enable_inference_dropout)
-            preds = exp.normalizer.subset(list(exp.out_packer.names)).denormalize(preds_n)
+            members = []
+            for e in range(E):
+                preds_n = exp.predict(
+                    params, inputs, time=t, condition=c,
+                    rng=jax.random.PRNGKey(1000 * t_step + e),
+                    use_inference_dropout=exp.cfg.enable_inference_dropout,
+                )
+                members.append(out_norm.denormalize(preds_n))
+            preds_e = jnp.stack(members)
             target = dyn[:, target_time][..., exp._out_idx]
-            rmses.append(M.root_mean_squared_error(target, preds, w[..., None], dim=(-3, -2, -1)))
-        return jnp.mean(jnp.stack(rmses))
+            tables.append({k: float(v) for k, v in self._ens_metrics(preds_e, target, w).items()})
+        return {k: float(np.mean([t[k] for t in tables])) for k in tables[0]}
 
     def _validate_forecasting(self, params, dyn, dyn_n, cond, w):
+        """Ensemble DYffusion sampling eval (reference
+        forecasting_multi_horizon._evaluation_step)."""
         exp = self.exp
         from .experiments import _stack_window
 
+        E = self._val_ensemble
         init = _stack_window(dyn_n[:, : exp.cfg.window])
-        out = exp.predict(params, init, jax.random.PRNGKey(0),
-                          dynamical_condition=cond)
-        rmses = []
         out_norm = exp.normalizer.subset(list(exp.out_packer.names))
-        for h, pred_n in out.preds.items():
+        member_preds = []
+        for e in range(E):
+            out = exp.predict(params, init, jax.random.PRNGKey(e),
+                              dynamical_condition=cond)
+            member_preds.append(out)
+        tables = []
+        for h in member_preds[0].preds:
             if not isinstance(h, int) or exp.cfg.window + h - 1 >= dyn.shape[1]:
                 continue
-            preds = out_norm.denormalize(pred_n)
+            preds_e = jnp.stack(
+                [out_norm.denormalize(m.preds[h]) for m in member_preds]
+            )
             target = dyn[:, exp.cfg.window + h - 1][..., exp._out_idx]
-            rmses.append(M.root_mean_squared_error(target, preds, w[..., None], dim=(-3, -2, -1)))
-        return jnp.mean(jnp.stack(rmses))
+            tables.append({k: float(v) for k, v in self._ens_metrics(preds_e, target, w).items()})
+        return {k: float(np.mean([t[k] for t in tables])) for k in tables[0]}
 
     # ------------------------------------------------------------ checkpoint
     def save_checkpoint(self, state: TrainState, path: str, extra_config: dict = None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         payload = {
-            "params": serialization.to_state_dict(jax.device_get(state.params)),
+            "params": serialization.to_state_dict(_strip_constants(state.params)),
             "ema_params": (
-                serialization.to_state_dict(jax.device_get(state.ema.params))
+                serialization.to_state_dict(_strip_constants(state.ema.params))
                 if state.ema is not None
                 else None
             ),

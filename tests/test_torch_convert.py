@@ -30,7 +30,9 @@ def test_roundtrip_identity():
     cfg, model, params = _tiny_params()
     sd = sfno_flax_to_torch(jax.device_get(params))
     back = sfno_torch_to_flax(sd, num_layers=cfg.num_layers)
-    flat_a = jax.tree_util.tree_leaves_with_path(jax.device_get(params))
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"params": jax.device_get(params)["params"]}
+    )
     b = back
     for path, leaf in flat_a:
         node = b
@@ -70,12 +72,15 @@ def test_forward_equivalence_after_flax_to_torch_to_flax_with_noise():
     y0 = model.apply(params, x, time=t)
     sd = sfno_flax_to_torch(jax.device_get(params))
     sd["blocks.0.filter.filter.weight"] = sd["blocks.0.filter.filter.weight"] + 0.5
-    params2 = sfno_torch_to_flax(sd, num_layers=cfg.num_layers)
+    # converted checkpoints carry only "params"; SHT constants come from the
+    # freshly-initialized template (same flow as interface._restore_params)
+    consts = {k: v for k, v in params.items() if k != "params"}
+    params2 = {**consts, **sfno_torch_to_flax(sd, num_layers=cfg.num_layers)}
     y1 = model.apply(params2, x, time=t)
     assert not np.allclose(np.asarray(y0), np.asarray(y1))
     # and unperturbed conversion reproduces the output exactly
-    params3 = sfno_torch_to_flax(sfno_flax_to_torch(jax.device_get(params)),
-                                 num_layers=cfg.num_layers)
+    params3 = {**consts, **sfno_torch_to_flax(
+        sfno_flax_to_torch(jax.device_get(params)), num_layers=cfg.num_layers)}
     y2 = model.apply(params3, x, time=t)
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y2))
 

@@ -104,6 +104,9 @@ def test_checkpoint_roundtrip(dm, tmp_path):
     assert "params" in restored and "ema_params" in restored
     # restored params numerically equal
     flat_saved = jax.tree_util.tree_leaves(restored["params"])
-    flat_live = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))
+    live = jax.device_get(trainer.state.params)
+    if isinstance(live, dict) and "constants" in live:
+        live = {k: v for k, v in live.items() if k != "constants"}
+    flat_live = jax.tree_util.tree_leaves(live)
     for a, b in zip(flat_saved, flat_live):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
