@@ -1,0 +1,62 @@
+"""Parameter-utility tests: wildcard matching, freezing, weight overwrite."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from spherical_dyffusion_tpu.utils.params import (
+    freeze_mask,
+    frozen_param_optimizer,
+    matches_any,
+    overwrite_weights,
+    param_names,
+)
+
+
+def tree():
+    return {
+        "encoder": {"kernel": jnp.ones((2, 3)), "bias": jnp.zeros((3,))},
+        "block_0": {"filter": {"weight": jnp.ones((3, 3, 4, 2))}},
+    }
+
+
+def test_param_names_and_matching():
+    names = param_names(tree())
+    assert "encoder/kernel" in names and "block_0/filter/weight" in names
+    assert matches_any("block_0/filter/weight", ["block_*/filter/*"])
+    assert not matches_any("encoder/kernel", ["block_*"])
+
+
+def test_freeze_mask_and_optimizer():
+    t = tree()
+    mask = freeze_mask(t, ["encoder/*"])
+    assert mask["encoder"]["kernel"] is False
+    assert mask["block_0"]["filter"]["weight"] is True
+
+    tx = frozen_param_optimizer(optax.sgd(1.0), ["encoder/*"])
+    state = tx.init(t)
+    grads = jax.tree_util.tree_map(jnp.ones_like, t)
+    updates, _ = tx.update(grads, state, t)
+    np.testing.assert_array_equal(np.asarray(updates["encoder"]["kernel"]), 0.0)
+    assert float(jnp.abs(updates["block_0"]["filter"]["weight"]).sum()) > 0
+
+
+def test_overwrite_weights_matching_and_partial_shapes():
+    target = tree()
+    source = {
+        "encoder": {"kernel": jnp.full((2, 3), 7.0), "bias": jnp.full((3,), 2.0)},
+        "block_0": {"filter": {"weight": jnp.full((2, 2, 4, 2), 5.0)}},  # smaller
+    }
+    out = overwrite_weights(target, source)
+    np.testing.assert_array_equal(np.asarray(out["encoder"]["kernel"]), 7.0)
+    w = np.asarray(out["block_0"]["filter"]["weight"])
+    np.testing.assert_array_equal(w[:2, :2], 5.0)
+    np.testing.assert_array_equal(w[2:, 2:], 1.0)  # untouched region
+
+    out2 = overwrite_weights(target, source, include=["encoder/bias"])
+    np.testing.assert_array_equal(np.asarray(out2["encoder"]["kernel"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(out2["encoder"]["bias"]), 2.0)
+
+    out3 = overwrite_weights(target, source, exclude=["encoder/*"])
+    np.testing.assert_array_equal(np.asarray(out3["encoder"]["kernel"]), 1.0)
