@@ -127,3 +127,29 @@ def test_sht_shapes_and_truncation():
     out = isht(spec)
     assert out.shape == (2, 12, 24, 5)
     assert out.dtype == jnp.float32
+
+
+def test_pallas_dhconv_matches_einsum():
+    """Pallas dhconv kernel (interpret mode on CPU) must match the einsum
+    contraction path exactly."""
+    import jax
+
+    from spherical_dyffusion_tpu.ops.contractions import contract_dhconv
+    from spherical_dyffusion_tpu.ops.pallas_contractions import (
+        PALLAS_AVAILABLE,
+        dhconv_pallas,
+    )
+
+    if not PALLAS_AVAILABLE:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(0)
+    B, L, M, CI, CO = 2, 6, 8, 8, 8
+    x = jnp.asarray(
+        rng.standard_normal((B, L, M, CI)) + 1j * rng.standard_normal((B, L, M, CI)),
+        jnp.complex64,
+    )
+    w = jnp.asarray(rng.standard_normal((CI, CO, L, 2)), jnp.float32)
+    want = contract_dhconv(x, w)  # (..., l, m, co) with einsum path
+    got = dhconv_pallas(x, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.real), np.asarray(want.real), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.imag), np.asarray(want.imag), atol=1e-4)
