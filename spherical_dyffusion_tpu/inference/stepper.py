@@ -49,7 +49,13 @@ class DYffusionStepper:
         use_ema_params: bool = False,
     ):
         self.exp = experiment
-        self.params = params
+        # both networks' params travel as ONE argument pytree into the jitted
+        # rollout — closing over either would embed hundreds of MB of weights
+        # as program literals (breaks remote compilation)
+        self.params = {
+            "forecaster": params,
+            "interpolator": getattr(experiment, "interpolator_params", None),
+        }
         self.prescriber = prescriber or NullPrescriber()
         self.horizon = experiment.cfg.horizon
         in_names = list(experiment.in_packer.names)
@@ -89,8 +95,8 @@ class DYffusionStepper:
         def segment(params, x, forcing, tgt, mask, rng, handoff_step: int):
             # x: (B, H, W, C_in) normalized state at segment start
             out = sampler(
-                exp._interp_fn(),
-                exp._forecast_fn(params, deterministic=True),
+                exp._interp_fn(params["interpolator"]),
+                exp._forecast_fn(params["forecaster"], deterministic=True),
                 exp.diffusion_cfg,
                 exp.sched,
                 x,

@@ -236,9 +236,14 @@ class DYffusionForecastingExperiment:
         self.criterion = get_loss_fn(cfg.loss_function)
         self._out_idx = _out_indices(in_packer, out_packer)
 
-    def _interp_fn(self, rng_unused=None):
+    def _interp_fn(self, ip_params=None):
+        """Interpolate-fn over explicit params. Callers inside jit MUST pass
+        ``ip_params`` as a traced argument — closing over the stored params
+        embeds ~hundreds of MB of literals into the compiled program, which
+        breaks remote compilation (same failure class as baked-in SHT
+        matrices)."""
         return self.interpolator.make_interpolate_fn(
-            self.interpolator_params,
+            ip_params if ip_params is not None else self.interpolator_params,
             hack_for_imprecise_interpolation=self.diffusion_cfg.hack_for_imprecise_interpolation,
             use_inference_dropout=bool(self.diffusion_cfg.enable_interpolator_dropout),
         )
@@ -258,6 +263,12 @@ class DYffusionForecastingExperiment:
 
         return forecast_fn
 
+    @property
+    def aux_params(self):
+        """Non-trainable parameter trees that must enter jitted steps as
+        arguments (the frozen interpolator)."""
+        return self.interpolator_params
+
     def train_loss(
         self,
         params,
@@ -265,6 +276,7 @@ class DYffusionForecastingExperiment:
         rng: jax.Array,
         dynamical_condition: Optional[jax.Array] = None,
         static_condition: Optional[jax.Array] = None,
+        aux_params=None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         rng_p, rng_drop = jax.random.split(rng)
         input_dynamics = _stack_window(dynamics[:, : self.cfg.window])
@@ -275,7 +287,7 @@ class DYffusionForecastingExperiment:
         if static_condition is not None:
             cond_kwargs["static_condition"] = static_condition
         losses = p_losses(
-            self._interp_fn(),
+            self._interp_fn(aux_params),
             self._forecast_fn(params, deterministic=False, rng=rng_drop),
             self.diffusion_cfg,
             self.sched,
@@ -294,6 +306,7 @@ class DYffusionForecastingExperiment:
         rng: jax.Array,
         dynamical_condition: Optional[jax.Array] = None,
         static_condition: Optional[jax.Array] = None,
+        aux_params=None,
     ):
         """Run the full cold-sampling loop; returns Intermediates with
         per-dynamical-step preds in out-channel space."""
@@ -303,7 +316,7 @@ class DYffusionForecastingExperiment:
         if static_condition is not None:
             cond_kwargs["static_condition"] = static_condition
         return sample_loop(
-            self._interp_fn(),
+            self._interp_fn(aux_params),
             self._forecast_fn(params, deterministic=True),
             self.diffusion_cfg,
             self.sched,

@@ -177,7 +177,9 @@ class Trainer:
         tx = self.tx
         cfg = self.cfg
 
-        def train_step(state: TrainState, dynamics, dynamical_condition, rng):
+        has_aux = getattr(exp, "aux_params", None) is not None
+
+        def train_step(state: TrainState, dynamics, dynamical_condition, rng, aux):
             dyn = exp.normalizer.normalize(dynamics)
             variables = state.params
             # non-trainable collections (e.g. SHT matrices in "constants") are
@@ -187,8 +189,9 @@ class Trainer:
 
             def loss_fn(p):
                 full = {**consts, "params": p} if consts or "params" in variables else p
+                extra = {"aux_params": aux} if has_aux else {}
                 return exp.train_loss(
-                    full, dyn, rng, dynamical_condition=dynamical_condition
+                    full, dyn, rng, dynamical_condition=dynamical_condition, **extra
                 )
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
@@ -228,6 +231,9 @@ class Trainer:
         first = next(iter(self.dm.train_batches(seed=cfg.seed)))
         state = self.init_state(first)
         train_step = self._make_train_step()
+        # frozen auxiliary params (e.g. DYffusion's interpolator) enter the
+        # jitted step as an ARGUMENT, never as an embedded constant
+        aux_params = getattr(self.exp, "aux_params", None)
         rng = jax.random.PRNGKey(cfg.seed + 1)
         history = {"train_loss": [], "val": []}
         step = 0
@@ -239,7 +245,7 @@ class Trainer:
                 dyn = shard_batch(self.mesh, batch["dynamics"])
                 cond = batch.get("dynamical_condition")
                 cond = shard_batch(self.mesh, cond) if cond is not None else None
-                state, metrics = train_step(state, dyn, cond, sub)
+                state, metrics = train_step(state, dyn, cond, sub, aux_params)
                 # fetch to host immediately: eager ops over multi-device arrays
                 # can deadlock XLA-CPU collectives on the virtual test mesh
                 losses.append(float(metrics["loss"]))

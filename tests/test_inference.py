@@ -88,7 +88,7 @@ class _LinearWorldExperiment:
         self.sched = build_schedule(self.diffusion_cfg)
         self._v = v  # velocity in normalized space
 
-    def _interp_fn(self):
+    def _interp_fn(self, ip_params=None):
         h = self.cfg.horizon
 
         def interpolate_fn(x_end, x_last, t, rng, **kw):
