@@ -63,17 +63,19 @@ class InferenceWindows:
                 f"{n_avail} (n_repeats={cfg.n_repeats})"
             )
 
-    def _read(self, start: int, length: int) -> Dict[str, np.ndarray]:
+    def _read(self, start: int, length: int,
+              names: Optional[Sequence[str]] = None) -> Dict[str, np.ndarray]:
         """Read with wrap-around across dataset repeats."""
+        names = list(names) if names is not None else self.names
         n = self.source.n_timesteps
-        out = {k: [] for k in self.names}
+        out = {k: [] for k in names}
         t = start
         remaining = length
         while remaining > 0:
             local = t % n
             take = min(remaining, n - local)
-            chunk = self.source.read_window(local, take, self.names)
-            for k in self.names:
+            chunk = self.source.read_window(local, take, names)
+            for k in names:
                 out[k].append(chunk[k])
             t += take
             remaining -= take
@@ -91,6 +93,16 @@ class InferenceWindows:
             yield step, data
             step += length - 1
 
+    def iter_ranges(self) -> Iterator[Tuple[int, int]]:
+        """(start_step, n_steps) pairs without reading any data."""
+        cfg = self.cfg
+        T = cfg.forward_steps_in_memory
+        step = 0
+        while step < cfg.n_forward_steps:
+            n = min(T, cfg.n_forward_steps - step)
+            yield step, n
+            step += n
+
 
 def run_inference(
     stepper: DYffusionStepper,
@@ -107,10 +119,19 @@ def run_inference(
     in_names = list(exp.in_packer.names)
     out_names = list(exp.out_packer.names)
     forcing_names = [n for n in getattr(exp, "forcing_names", [])]
-    # channels needed from the dataset
-    needed = list(dict.fromkeys(in_names + out_names + forcing_names))
+    consume = aggregator is not None or writer is not None
+    prescribed_name_early = getattr(stepper.prescriber, "prescribed_name", None)
+    # only read what the rollout actually consumes per window: forcings,
+    # prescriber fields, and (when aggregating/writing) targets; the full
+    # in_names are needed only for the initial condition
+    needed = list(forcing_names)
     if mask_name:
         needed.append(mask_name)
+    if prescribed_name_early:
+        needed.append(prescribed_name_early)
+    if consume:
+        needed += out_names
+    needed = list(dict.fromkeys(needed))
     windows = InferenceWindows(source, needed, cfg)
 
     normalizer = exp.normalizer  # over in_names
@@ -138,7 +159,8 @@ def run_inference(
         n_steps = min(cfg.forward_steps_in_memory, cfg.n_forward_steps - start_step)
 
         if x_norm is None:
-            init_raw = np.stack([data[n][0] for n in in_names], axis=-1)[None]
+            init_data = windows._read(cfg.start_index, 1, in_names)
+            init_raw = np.stack([init_data[n][0] for n in in_names], axis=-1)[None]
             x_norm = jnp.asarray(
                 normalizer.normalize(jnp.asarray(init_raw, jnp.float32))
             )
@@ -165,18 +187,28 @@ def run_inference(
         x_norm, preds_norm = stepper.run_window(
             x_norm, forcing, tgt_norm, mask, sub, n_steps
         )
-        preds_raw = out_norm.denormalize(preds_norm)
-        preds_raw_host = np.asarray(preds_raw)
+        consume = aggregator is not None or writer is not None
+        if consume:
+            # denormalize on device; host transfer overlaps with the next
+            # window's compute thanks to async dispatch (we only block when
+            # converting to numpy below)
+            preds_raw = out_norm.denormalize(preds_norm)
+        else:
+            # nothing consumes the predictions: only the carried state matters
+            # (pure-throughput benchmarking); avoid 100MB/window transfers
+            jax.block_until_ready(x_norm)
         timers["run_on_batch"] += time.time() - t0
 
         t0 = time.time()
-        targets_raw = np.stack(
-            [data[n][1 : n_steps + 1] for n in out_names], axis=-1
-        )
-        if aggregator is not None:
-            aggregator.record_batch(preds_raw_host, targets_raw, start_step=start_step)
-        if writer is not None:
-            writer.append(preds_raw_host, targets_raw)
+        if consume:
+            preds_raw_host = np.asarray(preds_raw)
+            targets_raw = np.stack(
+                [data[n][1 : n_steps + 1] for n in out_names], axis=-1
+            )
+            if aggregator is not None:
+                aggregator.record_batch(preds_raw_host, targets_raw, start_step=start_step)
+            if writer is not None:
+                writer.append(preds_raw_host, targets_raw)
         timers["writer_and_aggregator"] += time.time() - t0
         n_done += n_steps
         if verbose:
