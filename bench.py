@@ -70,7 +70,7 @@ def build(embed=256, layers=8, dtype="float32"):
         img_shape=(H, W), in_chans=2 * C + CF, out_chans=C, embed_dim=embed,
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         dropout_mlp=0.1, drop_path_rate=0.1, min_time=1, max_time=horizon - 1,
-        data_grid="equiangular", compute_dtype=dtype,
+        data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -78,7 +78,7 @@ def build(embed=256, layers=8, dtype="float32"):
         img_shape=(H, W), in_chans=C + CF, out_chans=C, embed_dim=embed,
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         min_time=0, max_time=horizon - 1, data_grid="equiangular",
-        compute_dtype=dtype,
+        compute_dtype=dtype, sht_matmul_dtype=dtype,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")

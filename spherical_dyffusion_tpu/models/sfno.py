@@ -83,6 +83,9 @@ class SFNOConfig:
     # (matching the reference's fp32-forced transforms under autocast,
     # s2convolutions.py:164-191); params stay float32
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # SHT/contraction matmul input dtype: float32 is reference-faithful;
+    # bfloat16 gives ~8x MXU throughput with fp32 accumulation
+    sht_matmul_dtype: str = "float32"
     # debug mode shrinks the model like the reference (sfnonet.py:468-471)
     debug_mode: bool = False
 
@@ -115,10 +118,11 @@ def _build_transforms(cfg: SFNOConfig):
     H, W = cfg.img_shape
     h, w = cfg.model_shape
     if cfg.spectral_transform == "sht":
-        trans_down = RealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid)
-        itrans_up = InverseRealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid)
-        trans = RealSHT.create(h, w, lmax, mmax, grid="legendre-gauss")
-        itrans = InverseRealSHT.create(h, w, lmax, mmax, grid="legendre-gauss")
+        md = cfg.sht_matmul_dtype
+        trans_down = RealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid, matmul_dtype=md)
+        itrans_up = InverseRealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid, matmul_dtype=md)
+        trans = RealSHT.create(h, w, lmax, mmax, grid="legendre-gauss", matmul_dtype=md)
+        itrans = InverseRealSHT.create(h, w, lmax, mmax, grid="legendre-gauss", matmul_dtype=md)
     elif cfg.spectral_transform == "fft":
         trans_down = RealFFT2.create(H, W, lmax, mmax)
         itrans_up = InverseRealFFT2.create(H, W, lmax, mmax)
@@ -146,6 +150,7 @@ class SpectralConvS2(nn.Module):
     use_bias: bool = True
     fwd_key: str = ""  # "data" | "model" | "" (no external matrices)
     inv_key: str = ""
+    matmul_dtype: str = ""  # "" -> float32 contraction
 
     @nn.compact
     def __call__(self, x: jax.Array, mats=None) -> tuple[jax.Array, jax.Array]:
@@ -176,7 +181,8 @@ class SpectralConvS2(nn.Module):
         if scale_residual:
             residual = self.inverse_transform(xs, inv_m).astype(dtype)
 
-        xs = contract(xs, weight, self.operator_type, self.separable)
+        xs = contract(xs, weight, self.operator_type, self.separable,
+                      matmul_dtype=self.matmul_dtype or None)
         out = self.inverse_transform(xs, inv_m)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
@@ -302,6 +308,7 @@ class FNOBlock(nn.Module):
                 use_bias=True,
                 fwd_key=self.fwd_key,
                 inv_key=self.inv_key,
+                matmul_dtype="" if cfg.sht_matmul_dtype == "float32" else cfg.sht_matmul_dtype,
                 name="filter",
             )
         elif cfg.filter_type == "non-linear":

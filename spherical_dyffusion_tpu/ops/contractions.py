@@ -31,14 +31,19 @@ def _as_complex(w: jax.Array) -> jax.Array:
     return jax.lax.complex(w[..., 0], w[..., 1])
 
 
-def contract_dhconv(x: jax.Array, w: jax.Array, separable: bool = False) -> jax.Array:
+def contract_dhconv(x: jax.Array, w: jax.Array, separable: bool = False,
+                    matmul_dtype=None) -> jax.Array:
     """Driscoll-Healy conv: x (..., l, m, ci), w (ci[, co], l, 2) -> (..., l, m, co).
 
     Equivalent of reference ``_contract_dhconv`` (contractions.py: 'bixl,iol->boxl'
-    in NCHW; ours is channels-last).
+    in NCHW; ours is channels-last). ``matmul_dtype`` (e.g. bfloat16) sets the
+    matmul input dtype with fp32 accumulation.
     """
     wr, wi = w[..., 0], w[..., 1]
     xr, xi = x.real, x.imag
+    if matmul_dtype is not None:
+        wr, wi = wr.astype(matmul_dtype), wi.astype(matmul_dtype)
+        xr, xi = xr.astype(matmul_dtype), xi.astype(matmul_dtype)
     if separable:
         # w: (ci, l) -> broadcast over m
         wr_b = jnp.transpose(wr)[..., :, None, :]  # (l, 1, ci)
@@ -55,13 +60,17 @@ def contract_dhconv(x: jax.Array, w: jax.Array, separable: bool = False) -> jax.
     return jax.lax.complex(yr, yi)
 
 
-def contract_diagonal(x: jax.Array, w: jax.Array, separable: bool = False) -> jax.Array:
+def contract_diagonal(x: jax.Array, w: jax.Array, separable: bool = False,
+                      matmul_dtype=None) -> jax.Array:
     """Per-(l, m) weights: x (..., l, m, ci), w (ci[, co], l, m, 2) -> (..., l, m, co).
 
     Equivalent of reference ``_contract_diagonal`` ('bixy,ioxy->boxy' in NCHW).
     """
     wr, wi = w[..., 0], w[..., 1]
     xr, xi = x.real, x.imag
+    if matmul_dtype is not None:
+        wr, wi = wr.astype(matmul_dtype), wi.astype(matmul_dtype)
+        xr, xi = xr.astype(matmul_dtype), xi.astype(matmul_dtype)
     if separable:
         wr_b = jnp.moveaxis(wr, 0, -1)  # (l, m, ci)
         wi_b = jnp.moveaxis(wi, 0, -1)
@@ -76,9 +85,10 @@ def contract_diagonal(x: jax.Array, w: jax.Array, separable: bool = False) -> ja
     return jax.lax.complex(yr, yi)
 
 
-def contract(x: jax.Array, w: jax.Array, operator_type: str, separable: bool = False) -> jax.Array:
+def contract(x: jax.Array, w: jax.Array, operator_type: str, separable: bool = False,
+             matmul_dtype=None) -> jax.Array:
     if operator_type == "dhconv":
-        return contract_dhconv(x, w, separable)
+        return contract_dhconv(x, w, separable, matmul_dtype)
     if operator_type == "diagonal":
-        return contract_diagonal(x, w, separable)
+        return contract_diagonal(x, w, separable, matmul_dtype)
     raise ValueError(f"Unsupported operator_type {operator_type!r}")

@@ -44,6 +44,9 @@ class RealSHT:
     lmax: int
     mmax: int
     grid: str = "equiangular"
+    # matmul input dtype: float32 (reference-faithful) or bfloat16 (8x MXU
+    # throughput, fp32 accumulation)
+    matmul_dtype: str = "float32"
 
     # populated in __post_init__; excluded from equality/hash
     _analysis: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
@@ -54,10 +57,10 @@ class RealSHT:
 
     @staticmethod
     def create(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None,
-               grid: str = "equiangular") -> "RealSHT":
+               grid: str = "equiangular", matmul_dtype: str = "float32") -> "RealSHT":
         lmax = lmax if lmax is not None else nlat
         mmax = mmax if mmax is not None else nlon // 2 + 1
-        return RealSHT(nlat, nlon, lmax, mmax, grid)
+        return RealSHT(nlat, nlon, lmax, mmax, grid, matmul_dtype)
 
     @property
     def matrix(self) -> jax.Array:
@@ -75,9 +78,15 @@ class RealSHT:
         # longitude FFT with 1/nlon (norm="forward"), truncate to mmax
         xf = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
         # latitude Legendre analysis: one MXU matmul batched over m
-        # (..., h, m, c) x (h, l, m) -> (..., l, m, c)
-        out = jnp.einsum("...hmc,hlm->...lmc", xf, m.astype(jnp.complex64))
-        return out
+        # (..., h, m, c) x (h, l, m) -> (..., l, m, c); real/imag decomposed so
+        # the matmul inputs can ride bf16 (8x MXU throughput) with fp32
+        # accumulation when requested
+        md = m.astype(self.matmul_dtype)
+        re = jnp.einsum("...hmc,hlm->...lmc", xf.real.astype(self.matmul_dtype), md,
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("...hmc,hlm->...lmc", xf.imag.astype(self.matmul_dtype), md,
+                        preferred_element_type=jnp.float32)
+        return jax.lax.complex(re, im)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +98,7 @@ class InverseRealSHT:
     lmax: int
     mmax: int
     grid: str = "equiangular"
+    matmul_dtype: str = "float32"
 
     _synthesis: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
 
@@ -98,10 +108,10 @@ class InverseRealSHT:
 
     @staticmethod
     def create(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None,
-               grid: str = "equiangular") -> "InverseRealSHT":
+               grid: str = "equiangular", matmul_dtype: str = "float32") -> "InverseRealSHT":
         lmax = lmax if lmax is not None else nlat
         mmax = mmax if mmax is not None else nlon // 2 + 1
-        return InverseRealSHT(nlat, nlon, lmax, mmax, grid)
+        return InverseRealSHT(nlat, nlon, lmax, mmax, grid, matmul_dtype)
 
     @property
     def matrix(self) -> jax.Array:
@@ -111,8 +121,13 @@ class InverseRealSHT:
         """x: (..., lmax, mmax, C) complex -> (..., nlat, nlon, C) real float32."""
         m = self._synthesis if matrix is None else matrix
         x = x.astype(jnp.complex64)
-        # latitude synthesis
-        xf = jnp.einsum("...lmc,hlm->...hmc", x, m.astype(jnp.complex64))
+        # latitude synthesis (real/imag decomposed; see RealSHT.__call__)
+        md = m.astype(self.matmul_dtype)
+        re = jnp.einsum("...lmc,hlm->...hmc", x.real.astype(self.matmul_dtype), md,
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("...lmc,hlm->...hmc", x.imag.astype(self.matmul_dtype), md,
+                        preferred_element_type=jnp.float32)
+        xf = jax.lax.complex(re, im)
         # pad azimuthal modes up to nlon//2+1 if truncated, then Hermitian inverse FFT
         full_m = self.nlon // 2 + 1
         if self.mmax < full_m:

@@ -133,3 +133,16 @@ def test_bfloat16_compute_close_to_fp32():
     err = float(jnp.max(jnp.abs(y16 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-8))
     assert err < 0.1, err
     assert np.isfinite(np.asarray(y16)).all()
+
+
+def test_bf16_sht_matmul_accuracy():
+    """bf16 SHT matmuls with fp32 accumulation stay within ~2% of fp32."""
+    cfg32 = tiny_cfg()
+    cfg16 = tiny_cfg(sht_matmul_dtype="bfloat16", compute_dtype="bfloat16")
+    m32, m16 = SFNO(cfg32), SFNO(cfg16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16, 32, 3)), jnp.float32)
+    params = m32.init(jax.random.PRNGKey(0), x)
+    y32 = m32.apply(params, x)
+    y16 = m16.apply(params, x)
+    err = float(jnp.max(jnp.abs(y16 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-8))
+    assert err < 0.15, err
