@@ -253,6 +253,10 @@ class WindowedDataset:
     forcing_names: Sequence[str] = ()
     forcing_normalizer: Optional[object] = None  # StandardNormalizer for forcings
     stride: int = 1  # sampling stride between start indices
+    # frame-selection strategy (reference data_loader_fv3gfs.py:11-84 multistep
+    # loaders): "sequential" keeps all window+horizon frames; "direct" keeps
+    # only the window frames and the final frame (direct h-step forecasting)
+    strategy: str = "sequential"
 
     def __len__(self) -> int:
         total = self.window + self.horizon
@@ -281,6 +285,11 @@ class WindowedDataset:
         total = self.window + self.horizon
         names = list(self.in_names) + [n for n in self.forcing_names if n not in self.in_names]
         raw = self.source.read_window(start, total, names)
+        if self.strategy == "direct":
+            keep = list(range(self.window)) + [total - 1]
+            raw = {k: v[keep] for k, v in raw.items()}
+        elif self.strategy != "sequential":
+            raise ValueError(f"Unknown strategy {self.strategy!r}")
         # native threaded pack (+fused normalize) with transparent numpy fallback
         dynamics = pack_normalize([raw[n] for n in self.in_names])
         out = {"dynamics": dynamics}

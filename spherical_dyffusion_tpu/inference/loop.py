@@ -228,6 +228,34 @@ def run_inference(
     return summary
 
 
+def run_dataset_inference(
+    predictions_path: str,
+    source: TimeSeriesSource,
+    out_names,
+    area_weights,
+    n_forward_steps: Optional[int] = None,
+    aggregator=None,
+) -> Dict[str, float]:
+    """Re-score previously saved predictions against the dataset
+    (reference run_dataset_inference, loop.py:271-326): reads the
+    autoregressive_predictions netCDF written by PredictionWriter and feeds
+    the aggregator window-free."""
+    import h5py
+
+    from ..evaluation.aggregators import InferenceAggregator
+
+    if aggregator is None:
+        aggregator = InferenceAggregator(list(out_names), area_weights)
+    with h5py.File(predictions_path, "r") as f:
+        T = f[out_names[0]].shape[1]
+        n = min(T, n_forward_steps) if n_forward_steps else T
+        preds = np.stack([f[v][:, :n] for v in out_names], axis=-1)  # (E, n, H, W, C)
+    targets_raw = source.read_window(1, n, list(out_names))
+    targets = np.stack([targets_raw[v] for v in out_names], axis=-1)
+    aggregator.record_batch(preds, targets, start_step=0)
+    return aggregator.get_logs()
+
+
 def exp_forcing_normalizer(exp) -> StandardNormalizer:
     if getattr(exp, "forcing_normalizer", None) is not None:
         return exp.forcing_normalizer

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from ..evaluation.metrics import weighted_mean
 
-__all__ = ["lp_loss", "get_loss_fn", "area_weighted_mse", "global_mean_loss"]
+__all__ = ["lp_loss", "get_loss_fn", "area_weighted_mse", "global_mean_loss",
+           "conservation_loss", "weighted_sum_loss"]
 
 
 def lp_loss(pred: jax.Array, target: jax.Array, p: int = 2, relative: bool = True) -> jax.Array:
@@ -48,6 +49,38 @@ def area_weighted_mse(weights: jax.Array) -> Callable[[jax.Array, jax.Array], ja
 
     def fn(pred: jax.Array, target: jax.Array) -> jax.Array:
         return weighted_mean((pred - target) ** 2, weights[..., None], dim=())
+
+    return fn
+
+
+def conservation_loss(area_weights: jax.Array, sigma, dry_air_penalty: float = 1.0) -> Callable:
+    """Dry-air non-conservation penalty (reference ConservationLoss,
+    core/loss.py:11-102): |d/dt global_mean(dry-air surface pressure)| between
+    consecutive generated steps, averaged over the trajectory.
+
+    Operates on a dict of named fields with a time axis (B, T, H, W) — the
+    same view the ACE stepper produces.
+    """
+    from ..inference.climate_data import ClimateData
+
+    def fn(gen_data: dict) -> jax.Array:
+        cd = ClimateData(gen_data)
+        dry_air = cd.surface_pressure_due_to_dry_air(sigma)  # (B, T, H, W)
+        gm = weighted_mean(dry_air, area_weights, dim=(-2, -1))  # (B, T)
+        return dry_air_penalty * jnp.mean(jnp.abs(jnp.diff(gm, axis=-1)))
+
+    return fn
+
+
+def weighted_sum_loss(losses: dict, weights: dict) -> Callable:
+    """Weighted combination of named criteria (reference WeightedSum,
+    core/loss.py:138)."""
+
+    def fn(pred, target):
+        total = 0.0
+        for name, loss in losses.items():
+            total = total + weights.get(name, 1.0) * loss(pred, target)
+        return total
 
     return fn
 

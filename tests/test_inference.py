@@ -196,3 +196,74 @@ def test_full_rollout_with_aggregator_and_writer(tmp_path):
         assert f["var_0"].shape == (2, 18, 8, 16)
         assert f["target_var_0"].shape == (18, 8, 16)
         assert np.isfinite(f["var_0"][()]).all()
+
+
+def test_run_dataset_inference_rescores_saved_predictions(tmp_path):
+    """Saved predictions re-scored (reference run_dataset_inference)."""
+    import h5py
+
+    from spherical_dyffusion_tpu.inference.loop import run_dataset_inference
+    from spherical_dyffusion_tpu.evaluation.metrics import spherical_area_weights
+
+    names = ["a", "b"]
+    src = SyntheticTimeSeries(names, n_timesteps=12, spatial_shape=(8, 16))
+    # fabricate "predictions" = truth + noise, saved like PredictionWriter
+    tgt = src.read_window(1, 6, names)
+    rng = np.random.default_rng(0)
+    with h5py.File(tmp_path / "preds.nc", "w") as f:
+        for v in names:
+            data = tgt[v][None] + 0.1 * rng.standard_normal((2, 6, 8, 16)).astype(np.float32)
+            f.create_dataset(v, data=data)
+    w = spherical_area_weights(np.linspace(-80, 80, 8), 16)
+    logs = run_dataset_inference(str(tmp_path / "preds.nc"), src, names, w)
+    assert np.isfinite(logs["inference/avg/rmse"])
+    assert logs["inference/avg/rmse"] < 0.3
+
+
+def test_direct_strategy_dataset():
+    src = SyntheticTimeSeries(["x"], n_timesteps=20, spatial_shape=(4, 8))
+    from spherical_dyffusion_tpu.data import WindowedDataset
+
+    ds = WindowedDataset(src, in_names=["x"], horizon=6, window=1, strategy="direct")
+    item = ds[0]
+    assert item["dynamics"].shape == (2, 4, 8, 1)  # window frame + final frame
+    seq = WindowedDataset(src, in_names=["x"], horizon=6, window=1)[0]
+    np.testing.assert_array_equal(item["dynamics"][0], seq["dynamics"][0])
+    np.testing.assert_array_equal(item["dynamics"][1], seq["dynamics"][6])
+
+
+def test_snapshot_and_zonal_plots(tmp_path):
+    from spherical_dyffusion_tpu.evaluation.plots import (
+        plot_snapshot_panels,
+        plot_zonal_mean_hovmoeller,
+    )
+
+    rng = np.random.default_rng(0)
+    snaps = {5: {"preds": rng.standard_normal((8, 16, 2)).astype(np.float32),
+                 "targets": rng.standard_normal((8, 16, 2)).astype(np.float32)}}
+    paths = plot_snapshot_panels(snaps, ["a", "b"], str(tmp_path))
+    assert (tmp_path / "snapshot_t5.png").exists()
+    pz = rng.standard_normal((10, 8, 2)).astype(np.float32)
+    tz = rng.standard_normal((10, 8, 2)).astype(np.float32)
+    paths2 = plot_zonal_mean_hovmoeller(pz, tz, ["a", "b"], str(tmp_path))
+    assert (tmp_path / "zonal_mean_a.png").exists()
+
+
+def test_conservation_loss():
+    from spherical_dyffusion_tpu.data import SigmaCoordinates
+    from spherical_dyffusion_tpu.evaluation.metrics import spherical_area_weights
+    from spherical_dyffusion_tpu.training.losses import conservation_loss
+
+    K, B, T, H_, W_ = 3, 1, 4, 8, 16
+    sigma = SigmaCoordinates(np.linspace(0, 0, K + 1), np.linspace(0, 1, K + 1))
+    w = spherical_area_weights(np.linspace(-80, 80, H_), W_)
+    loss_fn = conservation_loss(w, sigma)
+    gen = {"PRESsfc": jnp.full((B, T, H_, W_), 1e5)}
+    for k in range(K):
+        gen[f"specific_total_water_{k}"] = jnp.full((B, T, H_, W_), 1e-3)
+    # constant fields -> perfectly conserved -> zero loss
+    assert float(loss_fn(gen)) < 1e-6
+    gen2 = dict(gen)
+    drift = jnp.arange(T, dtype=jnp.float32)[None, :, None, None] * 100.0
+    gen2["PRESsfc"] = gen["PRESsfc"] + drift
+    assert float(loss_fn(gen2)) > 1.0
