@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import InverseRealSHT, RealSHT, RealFFT2, InverseRealFFT2, contract
+from ..ops.contractions import contract_dhconv_cp
 from .modules import (
     DropPath,
     InstanceNorm2d,
@@ -76,6 +77,9 @@ class SFNOConfig:
     time_scale_shift_before_filter: bool = True
     min_time: float = 0.0
     max_time: float = 1000.0
+    # factorized spectral weights (reference tltorch, s2convolutions.py:133-143)
+    factorization: Optional[str] = None  # None | "cp"
+    rank: float = 1.0
     # spectral attention (filter_type == "non-linear")
     spectral_layers: int = 3
     complex_activation: str = "real"
@@ -151,6 +155,8 @@ class SpectralConvS2(nn.Module):
     fwd_key: str = ""  # "data" | "model" | "" (no external matrices)
     inv_key: str = ""
     matmul_dtype: str = ""  # "" -> float32 contraction
+    factorization: str = ""  # "" (dense) | "cp" (reference tltorch ComplexCP)
+    rank: float = 1.0  # CP rank as a fraction of min(ci, co)
 
     @nn.compact
     def __call__(self, x: jax.Array, mats=None) -> tuple[jax.Array, jax.Array]:
@@ -159,17 +165,28 @@ class SpectralConvS2(nn.Module):
         inv_m = mats[f"synthesis_{self.inv_key}"] if (mats and self.inv_key) else None
         lmax, mmax = self.forward_transform.lmax, self.forward_transform.mmax
         scale = 1.0 / (self.in_channels * self.out_channels)
-        wshape = [self.in_channels]
-        if not self.separable:
-            wshape.append(self.out_channels)
-        wshape.append(lmax)
-        if self.operator_type == "diagonal":
-            wshape.append(mmax)
-        weight = self.param(
-            "weight",
-            nn.initializers.normal(stddev=scale),
-            tuple(wshape) + (2,),
-        )
+        if self.factorization == "cp":
+            if self.operator_type != "dhconv":
+                raise NotImplementedError("CP factorization implemented for dhconv")
+            R = max(1, int(self.rank * min(self.in_channels, self.out_channels)))
+            init = nn.initializers.normal(stddev=scale ** (1.0 / 3.0))
+            weight = {
+                "A": self.param("cp_A", init, (self.in_channels, R, 2)),
+                "B": self.param("cp_B", init, (self.out_channels, R, 2)),
+                "C": self.param("cp_C", init, (lmax, R, 2)),
+            }
+        else:
+            wshape = [self.in_channels]
+            if not self.separable:
+                wshape.append(self.out_channels)
+            wshape.append(lmax)
+            if self.operator_type == "diagonal":
+                wshape.append(mmax)
+            weight = self.param(
+                "weight",
+                nn.initializers.normal(stddev=scale),
+                tuple(wshape) + (2,),
+            )
 
         residual = x
         xs = self.forward_transform(x.astype(jnp.float32), fwd_m)
@@ -181,8 +198,11 @@ class SpectralConvS2(nn.Module):
         if scale_residual:
             residual = self.inverse_transform(xs, inv_m).astype(dtype)
 
-        xs = contract(xs, weight, self.operator_type, self.separable,
-                      matmul_dtype=self.matmul_dtype or None)
+        if self.factorization == "cp":
+            xs = contract_dhconv_cp(xs, weight, matmul_dtype=self.matmul_dtype or None)
+        else:
+            xs = contract(xs, weight, self.operator_type, self.separable,
+                          matmul_dtype=self.matmul_dtype or None)
         out = self.inverse_transform(xs, inv_m)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
@@ -309,6 +329,8 @@ class FNOBlock(nn.Module):
                 fwd_key=self.fwd_key,
                 inv_key=self.inv_key,
                 matmul_dtype="" if cfg.sht_matmul_dtype == "float32" else cfg.sht_matmul_dtype,
+                factorization=cfg.factorization or "",
+                rank=cfg.rank,
                 name="filter",
             )
         elif cfg.filter_type == "non-linear":

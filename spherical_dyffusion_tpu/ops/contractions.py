@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["contract_dhconv", "contract_diagonal", "contract"]
+__all__ = ["contract_dhconv", "contract_diagonal", "contract_dhconv_cp", "contract"]
 
 
 def _as_complex(w: jax.Array) -> jax.Array:
@@ -82,6 +82,45 @@ def contract_diagonal(x: jax.Array, w: jax.Array, separable: bool = False,
                               preferred_element_type=jnp.float32)
         yr = mm(xr, wr) - mm(xi, wi)
         yi = mm(xr, wi) + mm(xi, wr)
+    return jax.lax.complex(yr, yi)
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def contract_dhconv_cp(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Array:
+    """CP-factorized Driscoll-Healy contraction (the reference's tltorch
+    ComplexCP path, s2convolutions.py:133-143 + factorizations.py:_contract_cp).
+
+    weight[ci, co, l] = sum_r A[ci, r] * B[co, r] * C[l, r]  (complex), so
+
+        y = ((x @ A) * C[l]) @ B^T
+
+    — two rank-R matmuls plus a per-l scaling instead of a dense per-l matmul.
+    factors: {"A": (ci, R, 2), "B": (co, R, 2), "C": (l, R, 2)}.
+    """
+    Ar, Ai = factors["A"][..., 0], factors["A"][..., 1]
+    Br, Bi = factors["B"][..., 0], factors["B"][..., 1]
+    Cr, Ci = factors["C"][..., 0], factors["C"][..., 1]
+    xr, xi = x.real, x.imag
+    if matmul_dtype is not None:
+        cast = lambda *ts: [t.astype(matmul_dtype) for t in ts]  # noqa: E731
+        Ar, Ai, Br, Bi, xr, xi = cast(Ar, Ai, Br, Bi, xr, xi)
+
+    def mm(a, b, sub="...lmi,ir->...lmr"):
+        return jnp.einsum(sub, a, b, preferred_element_type=jnp.float32)
+
+    # project channels to rank
+    pr = mm(xr, Ar) - mm(xi, Ai)
+    pi = mm(xr, Ai) + mm(xi, Ar)
+    # per-l complex scale: (..., l, m, r) * (l, 1, r)
+    sr, si = _cmul(pr, pi, Cr[:, None, :], Ci[:, None, :])
+    if matmul_dtype is not None:
+        sr, si = sr.astype(matmul_dtype), si.astype(matmul_dtype)
+    # expand rank to output channels
+    yr = mm(sr, Br.T, "...lmr,ro->...lmo") - mm(si, Bi.T, "...lmr,ro->...lmo")
+    yi = mm(sr, Bi.T, "...lmr,ro->...lmo") + mm(si, Br.T, "...lmr,ro->...lmo")
     return jax.lax.complex(yr, yi)
 
 

@@ -146,3 +146,38 @@ def test_bf16_sht_matmul_accuracy():
     y16 = m16.apply(params, x)
     err = float(jnp.max(jnp.abs(y16 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-8))
     assert err < 0.15, err
+
+
+def test_cp_factorized_spectral_weights():
+    """CP-factorized filter (reference tltorch ComplexCP path): params shrink,
+    forward runs, and rank-full CP can represent the dense op."""
+    cfg = tiny_cfg(factorization="cp", rank=0.5)
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    blk = params["params"]["block_0"]["filter"]
+    assert set(blk) >= {"cp_A", "cp_B", "cp_C"}
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 32, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+    # numerics: CP contraction == dense contraction built from the factors
+    from spherical_dyffusion_tpu.ops.contractions import (
+        contract_dhconv,
+        contract_dhconv_cp,
+    )
+
+    rng = np.random.default_rng(0)
+    ci, co, L, R, M = 4, 4, 6, 8, 5
+    f = {k: jnp.asarray(rng.standard_normal(s), jnp.float32)
+         for k, s in [("A", (ci, R, 2)), ("B", (co, R, 2)), ("C", (L, R, 2))]}
+    Ac = np.asarray(f["A"][..., 0] + 1j * f["A"][..., 1])
+    Bc = np.asarray(f["B"][..., 0] + 1j * f["B"][..., 1])
+    Cc = np.asarray(f["C"][..., 0] + 1j * f["C"][..., 1])
+    dense = np.einsum("ir,or,lr->iol", Ac, Bc, Cc)
+    w_dense = jnp.stack([jnp.asarray(dense.real), jnp.asarray(dense.imag)], axis=-1)
+    xs = jnp.asarray(rng.standard_normal((2, L, M, ci))
+                     + 1j * rng.standard_normal((2, L, M, ci)), jnp.complex64)
+    want = contract_dhconv(xs, w_dense)
+    got = contract_dhconv_cp(xs, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
