@@ -36,6 +36,9 @@ class InferenceConfig:
     n_forward_steps: int = 100
     forward_steps_in_memory: int = 50
     n_ensemble: int = 1
+    # HBM-bounded ensemble chunking (reference num_predictions_in_memory,
+    # _base_experiment.py:118-120): members run in device batches of this size
+    ensemble_in_memory: Optional[int] = None
     n_repeats: int = 1  # loop the dataset for rollouts longer than the data
     start_index: int = 0
     seed: int = 0
@@ -166,26 +169,38 @@ def run_inference(
             )
             x_norm = jnp.tile(x_norm, (cfg.n_ensemble, 1, 1, 1))
 
-        forcing = None
+        forcing1 = None
         if forcing_names:
             f_raw = np.stack([data[n] for n in forcing_names], axis=-1)[None]
-            f_norm = exp_forcing_normalizer(exp).normalize(jnp.asarray(f_raw, jnp.float32))
-            forcing = jnp.tile(f_norm, (cfg.n_ensemble, 1, 1, 1, 1))
+            forcing1 = exp_forcing_normalizer(exp).normalize(jnp.asarray(f_raw, jnp.float32))
 
-        tgt_norm = None
-        mask = None
+        tgt1 = None
+        mask1 = None
         if prescribed_name and mask_name:
             ch = out_names.index(prescribed_name)
             t_raw = jnp.asarray(data[prescribed_name][None], jnp.float32)
             mu, sd = out_norm.means[ch], out_norm.stds[ch]
-            tgt_norm = jnp.tile((t_raw - mu) / sd, (cfg.n_ensemble, 1, 1, 1))
-            mask = jnp.tile(
-                jnp.asarray(data[mask_name][0][None], jnp.float32), (cfg.n_ensemble, 1, 1)
-            )
+            tgt1 = (t_raw - mu) / sd
+            mask1 = jnp.asarray(data[mask_name][0][None], jnp.float32)
 
-        rng, sub = jax.random.split(rng)
-        x_norm, preds_norm = stepper.run_window(
-            x_norm, forcing, tgt_norm, mask, sub, n_steps
+        # ensemble in HBM-bounded chunks (reference num_predictions_in_memory)
+        E = cfg.n_ensemble
+        chunk = cfg.ensemble_in_memory or E
+        new_states, pred_parts = [], []
+        for s0 in range(0, E, chunk):
+            e = min(chunk, E - s0)
+            rng, sub = jax.random.split(rng)
+            fc = jnp.tile(forcing1, (e, 1, 1, 1, 1)) if forcing1 is not None else None
+            tc = jnp.tile(tgt1, (e, 1, 1, 1)) if tgt1 is not None else None
+            mc = jnp.tile(mask1, (e, 1, 1)) if mask1 is not None else None
+            xc, pc = stepper.run_window(
+                x_norm[s0 : s0 + e], fc, tc, mc, sub, n_steps
+            )
+            new_states.append(xc)
+            pred_parts.append(pc)
+        x_norm = jnp.concatenate(new_states) if len(new_states) > 1 else new_states[0]
+        preds_norm = (
+            jnp.concatenate(pred_parts) if len(pred_parts) > 1 else pred_parts[0]
         )
         consume = aggregator is not None or writer is not None
         if consume:

@@ -83,6 +83,21 @@ def run_model(config_path: Optional[str], overrides: List[str]) -> dict:
 
     logger = make_logger(cfg, out_dir=cfg.get("log_dir", "logs"))
     logger.log_hyperparams(cfg)
+
+    # eval-only modes (reference train.py:150-180): mode=validate restores the
+    # checkpoint and runs the validation loop without training
+    mode = cfg.get("mode", "train")
+    if mode in ("validate", "test"):
+        payload = Trainer.load_checkpoint(ckpt_path)
+        trainer.restore_payload = payload
+        batch = next(iter(dm.train_batches(seed=seed)))
+        state = trainer.init_state(batch)
+        metrics = trainer.validate(state, max_batches=int(cfg.get("max_eval_batches", 8)))
+        logger.log(metrics)
+        logger.finish()
+        print({k: round(v, 5) for k, v in metrics.items()})
+        return {"metrics": metrics, "config": cfg, "trainer": trainer}
+
     try:
         history = trainer.fit(verbose=bool(cfg.get("verbose", True)), logger=logger)
     except Exception:

@@ -267,3 +267,21 @@ def test_conservation_loss():
     drift = jnp.arange(T, dtype=jnp.float32)[None, :, None, None] * 100.0
     gen2["PRESsfc"] = gen["PRESsfc"] + drift
     assert float(loss_fn(gen2)) > 1.0
+
+
+def test_ensemble_chunking_equivalent_shapes(tmp_path):
+    """ensemble_in_memory chunks members through the device without changing
+    the outputs' shape contract."""
+    HORIZON = 4
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=HORIZON,
+                         n_forcing=1, batch_size=8, n_timesteps=64)
+    exp, params = _train_tiny_dyffusion(dm, HORIZON)
+    stepper = DYffusionStepper(exp, params)
+    agg = InferenceAggregator(list(dm.cfg.out_names), dm.grid.horizontal.area_weights())
+    cfg = InferenceConfig(n_forward_steps=8, forward_steps_in_memory=8,
+                          n_ensemble=3, ensemble_in_memory=2, n_repeats=1)
+    summary = run_inference(stepper, dm._src, cfg, aggregator=agg, verbose=False)
+    assert summary["n_forward_steps"] == 8
+    logs = agg.get_logs()
+    assert np.isfinite(logs["inference/avg/rmse"])
+    assert any("crps" in k for k in logs)
