@@ -553,7 +553,7 @@ def sample_loop_scan(
 
     def body(x_s, s_key):
         s, key = s_key
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2 = jax.random.split(key, 2)
         t = jnp.full((B,), s, jnp.float32)
         xhat = predict_x_last(
             forecast_fn, cfg, sched, initial_condition, x_s, t, k1, **cond_kwargs
@@ -564,13 +564,21 @@ def sample_loop_scan(
         )
         sf = s.astype(jnp.float32)
         i_next = sched.d_to_i(jnp.minimum(sf + 1.0, float(N - 1)))
-        x_int_next = jnp.where(
-            s < N - 1,
-            interp(xhat, jnp.full((B,), i_next), k2),
-            xhat_state,
-        )
         i_s = sched.d_to_i(jnp.maximum(sf, 1.0))
-        x_int_s = jnp.where(s > 0, interp(xhat, jnp.full((B,), i_s), k3), x_s)
+        # the two interpolations of the cold update run as ONE double-batch
+        # application: at B=1 (single-IC rollouts) this doubles the MXU batch
+        # and halves interpolator dispatches vs two separate calls
+        t_pair = jnp.concatenate([jnp.full((B,), i_next), jnp.full((B,), i_s)])
+        t_pair = jnp.clip(t_pair, 1.0, float(cfg.timesteps - 1))
+        ic2 = jnp.concatenate([initial_condition, initial_condition])
+        cond2 = {
+            k: (jnp.concatenate([v, v]) if hasattr(v, "shape") else v)
+            for k, v in cond_kwargs.items()
+        }
+        pair = interpolate_fn(ic2, jnp.concatenate([xhat, xhat]), t_pair, k2, **cond2)
+        x_int_next_i, x_int_s_i = pair[:B], pair[B:]
+        x_int_next = jnp.where(s < N - 1, x_int_next_i, xhat_state)
+        x_int_s = jnp.where(s > 0, x_int_s_i, x_s)
         x_next = x_s + x_int_next - x_int_s
         return x_next, (x_next, xhat)
 
