@@ -57,6 +57,10 @@ class TrainerConfig:
     # batch = batch_size * accumulate_grad_batches * data-parallel size
     accumulate_grad_batches: int = 1
     num_predictions: Optional[int] = None  # val ensemble size override
+    # autoregressive rollout validation every N epochs (reference
+    # inference_val_every_n_epochs, fv3gfs_dyffusion.yaml:26)
+    rollout_val_every: Optional[int] = None
+    rollout_val_steps: Optional[int] = None  # default: datamodule prediction_horizon
 
 
 class TrainState(struct.PyTreeNode):
@@ -279,6 +283,16 @@ class Trainer:
                 if verbose and val:
                     head = {k: round(float(v), 5) for k, v in list(val.items())[:4]}
                     print(f"epoch {epoch}: {head}")
+            if (cfg.rollout_val_every
+                    and (epoch + 1) % cfg.rollout_val_every == 0):
+                rv = self.rollout_validate(state)
+                if rv:
+                    history.setdefault("rollout_val", []).append(rv)
+                    if logger is not None:
+                        logger.log(rv, step=step)
+                    if verbose:
+                        head = {k: round(float(v), 5) for k, v in list(rv.items())[:3]}
+                        print(f"epoch {epoch} rollout: {head}")
             if cfg.ckpt_dir:
                 self.save_checkpoint(state, os.path.join(cfg.ckpt_dir, "last.ckpt"))
         self.state = state
@@ -388,6 +402,35 @@ class Trainer:
             target = dyn[:, exp.cfg.window + h - 1][..., exp._out_idx]
             tables.append({k: float(v) for k, v in self._ens_metrics(preds_e, target, w).items()})
         return {k: float(np.mean([t[k] for t in tables])) for k in tables[0]}
+
+    def rollout_validate(self, state: TrainState) -> Dict[str, float]:
+        """Autoregressive rollout validation over the val split (the long-
+        horizon eval the reference runs every inference_val_every_n_epochs).
+        Only applies to forecasting experiments."""
+        exp = self.exp
+        if getattr(exp, "diffusion_cfg", None) is None:
+            return {}
+        from ..evaluation.aggregators import InferenceAggregator
+        from ..inference import DYffusionStepper, InferenceConfig, run_inference
+
+        params = state.ema.params if state.ema is not None else state.params
+        stepper = DYffusionStepper(exp, jax.device_get(params))
+        src = self.dm._source("val")
+        n_steps = self.cfg.rollout_val_steps or min(
+            self.dm.cfg.prediction_horizon or 8 * exp.cfg.horizon,
+            src.n_timesteps - 1,
+        )
+        icfg = InferenceConfig(
+            n_forward_steps=n_steps,
+            forward_steps_in_memory=min(n_steps, 8 * exp.cfg.horizon),
+            n_ensemble=1,
+        )
+        agg = InferenceAggregator(
+            list(exp.out_packer.names), self.dm.grid.horizontal.area_weights(),
+            log_zonal_mean_images=False,
+        )
+        run_inference(stepper, src, icfg, aggregator=agg, verbose=False)
+        return {f"val/{k.split('/', 1)[1]}": v for k, v in agg.get_logs().items()}
 
     # ------------------------------------------------------------ checkpoint
     def save_checkpoint(self, state: TrainState, path: str, extra_config: dict = None):

@@ -110,3 +110,33 @@ def test_checkpoint_roundtrip(dm, tmp_path):
     flat_live = jax.tree_util.tree_leaves(live)
     for a, b in zip(flat_saved, flat_live):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rollout_validation_during_training(dm):
+    """inference_val_every_n_epochs parity: DYffusion training runs a long
+    autoregressive rollout eval and logs time-mean metrics."""
+    interp_exp = make_interp_exp(dm)
+    t1 = Trainer(interp_exp, dm, TrainerConfig(lr=8e-3, epochs=1, use_ema=False,
+                                               warmup_steps=2, steps_per_epoch=7))
+    t1.fit(verbose=False, val_every=100)
+
+    from spherical_dyffusion_tpu.diffusion import DYffusionConfig
+    from spherical_dyffusion_tpu.training import DYffusionForecastingExperiment
+
+    fc_model = SFNO(SFNOConfig(img_shape=(H, W), in_chans=C + CF, out_chans=C,
+                               embed_dim=8, num_layers=1, with_time_emb=True,
+                               min_time=0, max_time=HORIZON - 1))
+    exp = DYffusionForecastingExperiment(
+        fc_model, interp_exp, t1.state.params,
+        DYffusionConfig(timesteps=HORIZON, forward_conditioning="none"),
+        ExperimentConfig(horizon=HORIZON),
+        dm.in_packer, dm.out_packer, dm.normalizer,
+        forcing_names=dm.cfg.forcing_names, forcing_normalizer=dm.forcing_normalizer,
+    )
+    t2 = Trainer(exp, dm, TrainerConfig(lr=4e-3, epochs=1, use_ema=False,
+                                        warmup_steps=2, steps_per_epoch=7,
+                                        rollout_val_every=1, rollout_val_steps=8))
+    hist = t2.fit(verbose=False, val_every=100)
+    rv = hist["rollout_val"][0]
+    assert any(k.startswith("val/time_mean/rmse/") for k in rv)
+    assert np.isfinite(rv["val/avg/rmse"])
