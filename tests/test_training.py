@@ -140,3 +140,31 @@ def test_rollout_validation_during_training(dm):
     rv = hist["rollout_val"][0]
     assert any(k.startswith("val/time_mean/rmse/") for k in rv)
     assert np.isfinite(rv["val/avg/rmse"])
+
+
+def test_orbax_checkpoint_roundtrip(dm, tmp_path):
+    from spherical_dyffusion_tpu.utils.orbax_ckpt import (
+        OrbaxCheckpointManager,
+        restore_orbax,
+        save_orbax,
+    )
+
+    exp = make_interp_exp(dm)
+    trainer = Trainer(exp, dm, TrainerConfig(epochs=1, steps_per_epoch=7))
+    trainer.fit(verbose=False, val_every=100)
+    state = trainer.state
+
+    save_orbax(str(tmp_path / "ck"), state, config={"a": 1})
+    payload, cfg = restore_orbax(str(tmp_path / "ck"))
+    assert cfg == {"a": 1}
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    b = jax.tree_util.tree_leaves(payload["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    mgr = OrbaxCheckpointManager(str(tmp_path / "mgr"), max_to_keep=2)
+    for s in [1, 2, 3]:
+        mgr.save(s, state)
+    assert list(mgr.all_steps) == [2, 3]  # keep-top-k rolled
+    restored = mgr.restore()
+    assert int(restored["step"]) == int(state.step)
