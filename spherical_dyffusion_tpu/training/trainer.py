@@ -127,7 +127,14 @@ class Trainer:
             # auto-resume (reference resume-if-exists, config_utils.py:83);
             # constants are stripped from checkpoints and kept from the template
             params = _merge_restored(params, restore["params"])
-        steps_per_epoch = self.cfg.steps_per_epoch or 100
+        steps_per_epoch = self.cfg.steps_per_epoch
+        if steps_per_epoch is None:
+            try:
+                steps_per_epoch = max(
+                    1, len(self.dm.dataset("train")) // self.dm.cfg.batch_size
+                )
+            except Exception:
+                steps_per_epoch = 100
         total = cfg.epochs * steps_per_epoch
         schedule = get_scheduler(cfg.scheduler, cfg.lr, total, cfg.warmup_steps)
         self.tx = optax.chain(

@@ -168,3 +168,19 @@ def test_orbax_checkpoint_roundtrip(dm, tmp_path):
     assert list(mgr.all_steps) == [2, 3]  # keep-top-k rolled
     restored = mgr.restore()
     assert int(restored["step"]) == int(state.step)
+
+
+def test_unet_backbone_interpolation_training(dm):
+    """UNet as the interpolation backbone (reference model=unet flow)."""
+    from spherical_dyffusion_tpu.models import UNet, UNetConfig
+
+    cfg = ExperimentConfig(horizon=HORIZON, window=1, enable_inference_dropout=True)
+    model = UNet(UNetConfig(img_shape=(H, W), in_chans=2 * C + CF, out_chans=C,
+                            dim=8, dim_mults=(1, 2), with_time_emb=True,
+                            block_dropout=0.1, block_dropout1=0.1))
+    exp = InterpolationExperiment(model, cfg, dm.in_packer, dm.out_packer, dm.normalizer)
+    tr = Trainer(exp, dm, TrainerConfig(lr=8e-3, epochs=1, use_ema=False,
+                                        warmup_steps=2, steps_per_epoch=7))
+    hist = tr.fit(verbose=False, val_every=1)
+    assert np.isfinite(hist["train_loss"][-1])
+    assert np.isfinite(hist["val"][-1]["val/avg/rmse"])
