@@ -112,7 +112,15 @@ class Trainer:
         self.exp = experiment
         self.dm = datamodule
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            # default data-parallel mesh sized so the global batch divides it
+            import math as _math
+
+            n = len(jax.devices())
+            bs = int(getattr(getattr(datamodule, "cfg", None), "batch_size", 1) or 1)
+            data = max(1, _math.gcd(bs, n))
+            mesh = make_mesh(data=data, devices=jax.devices()[:data])
+        self.mesh = mesh
         self._area_weights = None
 
     # ------------------------------------------------------------------ setup
