@@ -192,6 +192,7 @@ class InferenceAggregator:
         area_weights,
         record_step_20: bool = True,
         log_zonal_mean_images: bool = True,
+        log_video: bool = False,
         snapshot_steps: Optional[Sequence[int]] = None,
     ):
         self.names = list(names)
@@ -199,6 +200,12 @@ class InferenceAggregator:
         self.reduced = ReducedMetricsAggregator(names, area_weights)
         self.snapshots = SnapshotAggregator(names, snapshot_steps)
         self.zonal = ZonalMeanAggregator(names) if log_zonal_mean_images else None
+        if log_video:
+            from .video import VideoAggregator
+
+            self.video = VideoAggregator(names)
+        else:
+            self.video = None
 
     def record_batch(self, preds, targets, start_step: int = 0):
         """preds: (E, T, H, W, C) raw; targets: (T, H, W, C) raw."""
@@ -209,6 +216,8 @@ class InferenceAggregator:
         self.snapshots.record(preds, targets, start_step)
         if self.zonal is not None:
             self.zonal.record(preds, targets, start_step)
+        if self.video is not None:
+            self.video.record_batch(preds, targets, start_step)
 
     def get_logs(self, label: str = "inference") -> Dict[str, float]:
         logs = {}

@@ -86,6 +86,7 @@ def main_from_config(cfg: dict) -> dict:
     agg = InferenceAggregator(
         list(exp.out_packer.names), hc.area_weights(),
         log_zonal_mean_images=bool(cfg.get("log_zonal_mean_images", True)),
+        log_video=bool(cfg.get("log_video", False)),
     )
     w_cfg = cfg.get("data_writer", {})
     writer = DataWriter(
@@ -105,6 +106,23 @@ def main_from_config(cfg: dict) -> dict:
     logs = agg.get_logs()
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump({**summary, **logs}, f, indent=1)
+    # media outputs (reference snapshot/zonal-mean/video artifacts)
+    try:
+        if agg.snapshots.snapshots:
+            from .evaluation.plots import plot_snapshot_panels
+
+            plot_snapshot_panels(agg.snapshots.snapshots, list(exp.out_packer.names),
+                                 os.path.join(out_dir, "snapshots"))
+        if agg.zonal is not None and agg.zonal.get_maps() is not None:
+            from .evaluation.plots import plot_zonal_mean_hovmoeller
+
+            pz, tz = agg.zonal.get_maps()
+            plot_zonal_mean_hovmoeller(pz, tz, list(exp.out_packer.names),
+                                       os.path.join(out_dir, "zonal_means"))
+        if agg.video is not None:
+            agg.video.save(os.path.join(out_dir, "videos.nc"))
+    except Exception as e:  # media must never kill a rollout
+        print(f"[media] skipped: {e}")
     print(json.dumps({k: round(float(v), 5) for k, v in summary.items()}))
     return {"summary": summary, "logs": logs, "aggregator": agg}
 
