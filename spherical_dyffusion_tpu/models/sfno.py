@@ -163,6 +163,8 @@ class SpectralConvS2(nn.Module):
         dtype = x.dtype
         fwd_m = mats[f"analysis_{self.fwd_key}"] if (mats and self.fwd_key) else None
         inv_m = mats[f"synthesis_{self.inv_key}"] if (mats and self.inv_key) else None
+        fwd_d = mats.get(f"dft_fwd_{self.fwd_key}") if (mats and self.fwd_key) else None
+        inv_d = mats.get(f"dft_inv_{self.inv_key}") if (mats and self.inv_key) else None
         lmax, mmax = self.forward_transform.lmax, self.forward_transform.mmax
         scale = 1.0 / (self.in_channels * self.out_channels)
         if self.factorization == "cp":
@@ -189,21 +191,21 @@ class SpectralConvS2(nn.Module):
             )
 
         residual = x
-        xs = self.forward_transform(x.astype(jnp.float32), fwd_m)
+        xs = self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d)
         scale_residual = (
             self.forward_transform.nlat != self.inverse_transform.nlat
             or self.forward_transform.nlon != self.inverse_transform.nlon
             or self.forward_transform.grid != self.inverse_transform.grid
         )
         if scale_residual:
-            residual = self.inverse_transform(xs, inv_m).astype(dtype)
+            residual = self.inverse_transform(xs, inv_m, inv_d).astype(dtype)
 
         if self.factorization == "cp":
             xs = contract_dhconv_cp(xs, weight, matmul_dtype=self.matmul_dtype or None)
         else:
             xs = contract(xs, weight, self.operator_type, self.separable,
                           matmul_dtype=self.matmul_dtype or None)
-        out = self.inverse_transform(xs, inv_m)
+        out = self.inverse_transform(xs, inv_m, inv_d)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = out + bias
@@ -240,16 +242,18 @@ class SpectralAttentionS2(nn.Module):
         dtype = x.dtype
         fwd_m = mats[f"analysis_{self.fwd_key}"] if (mats and self.fwd_key) else None
         inv_m = mats[f"synthesis_{self.inv_key}"] if (mats and self.inv_key) else None
+        fwd_d = mats.get(f"dft_fwd_{self.fwd_key}") if (mats and self.fwd_key) else None
+        inv_d = mats.get(f"dft_inv_{self.inv_key}") if (mats and self.inv_key) else None
         hidden = int(self.embed_dim * self.hidden_size_factor)
         residual = x
-        xs = self.forward_transform(x.astype(jnp.float32), fwd_m)
+        xs = self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d)
         scale_residual = (
             self.forward_transform.nlat != self.inverse_transform.nlat
             or self.forward_transform.nlon != self.inverse_transform.nlon
             or self.forward_transform.grid != self.inverse_transform.grid
         )
         if scale_residual:
-            residual = self.inverse_transform(xs, inv_m).astype(dtype)
+            residual = self.inverse_transform(xs, inv_m, inv_d).astype(dtype)
 
         zr, zi = xs.real, xs.imag
         scale = 1.0 / (self.embed_dim * hidden) ** 0.5
@@ -267,7 +271,7 @@ class SpectralAttentionS2(nn.Module):
         wr = self.param("wout_re", nn.initializers.normal(scale), (dims[-1], self.embed_dim))
         wi = self.param("wout_im", nn.initializers.normal(scale), (dims[-1], self.embed_dim))
         zr, zi = zr @ wr - zi @ wi, zr @ wi + zi @ wr
-        out = self.inverse_transform(jax.lax.complex(zr, zi), inv_m)
+        out = self.inverse_transform(jax.lax.complex(zr, zi), inv_m, inv_d)
         return out.astype(dtype), residual
 
 
@@ -460,6 +464,14 @@ class SFNO(nn.Module):
                     "constants", "sht_analysis_model", lambda: trans.matrix).value,
                 "synthesis_model": self.variable(
                     "constants", "sht_synthesis_model", lambda: itrans.matrix).value,
+                "dft_fwd_data": self.variable(
+                    "constants", "dft_fwd_data", lambda: trans_down._dft).value,
+                "dft_inv_data": self.variable(
+                    "constants", "dft_inv_data", lambda: itrans_up._dft).value,
+                "dft_fwd_model": self.variable(
+                    "constants", "dft_fwd_model", lambda: trans._dft).value,
+                "dft_inv_model": self.variable(
+                    "constants", "dft_inv_model", lambda: itrans._dft).value,
             }
 
         drop_rates = [

@@ -23,6 +23,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+
+def _effective_matmul_dtype(requested):
+    """bf16 dots are unsupported by the XLA-CPU DotThunk; f32 there."""
+    if requested is not None and jax.default_backend() == "cpu":
+        return None
+    return requested
+
 __all__ = ["contract_dhconv", "contract_diagonal", "contract_dhconv_cp", "contract"]
 
 
@@ -39,6 +46,7 @@ def contract_dhconv(x: jax.Array, w: jax.Array, separable: bool = False,
     in NCHW; ours is channels-last). ``matmul_dtype`` (e.g. bfloat16) sets the
     matmul input dtype with fp32 accumulation.
     """
+    matmul_dtype = _effective_matmul_dtype(matmul_dtype)
     wr, wi = w[..., 0], w[..., 1]
     xr, xi = x.real, x.imag
     if matmul_dtype is not None:
@@ -66,6 +74,7 @@ def contract_diagonal(x: jax.Array, w: jax.Array, separable: bool = False,
 
     Equivalent of reference ``_contract_diagonal`` ('bixy,ioxy->boxy' in NCHW).
     """
+    matmul_dtype = _effective_matmul_dtype(matmul_dtype)
     wr, wi = w[..., 0], w[..., 1]
     xr, xi = x.real, x.imag
     if matmul_dtype is not None:
@@ -100,6 +109,7 @@ def contract_dhconv_cp(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Ar
     — two rank-R matmuls plus a per-l scaling instead of a dense per-l matmul.
     factors: {"A": (ci, R, 2), "B": (co, R, 2), "C": (l, R, 2)}.
     """
+    matmul_dtype = _effective_matmul_dtype(matmul_dtype)
     Ar, Ai = factors["A"][..., 0], factors["A"][..., 1]
     Br, Bi = factors["B"][..., 0], factors["B"][..., 1]
     Cr, Ci = factors["C"][..., 0], factors["C"][..., 1]

@@ -39,7 +39,7 @@ class RealFFT2:
         lneg = self.lmax // 2
         return lpos, lneg
 
-    def __call__(self, x: jax.Array, matrix=None) -> jax.Array:  # matrix unused (API parity with SHT)
+    def __call__(self, x: jax.Array, matrix=None, dft=None) -> jax.Array:  # matrix/dft unused (API parity with SHT)
         x = x.astype(jnp.float32)
         xf = jnp.fft.rfft(x, axis=-2, norm="ortho")[..., : self.mmax, :]
         xf = jnp.fft.fft(xf, axis=-3, norm="ortho")
@@ -64,7 +64,7 @@ class InverseRealFFT2:
         mmax = mmax if mmax is not None else nlon // 2 + 1
         return InverseRealFFT2(nlat, nlon, lmax, mmax)
 
-    def __call__(self, x: jax.Array, matrix=None) -> jax.Array:  # matrix unused (API parity with SHT)
+    def __call__(self, x: jax.Array, matrix=None, dft=None) -> jax.Array:  # matrix/dft unused (API parity with SHT)
         x = x.astype(jnp.complex64)
         lpos = (self.lmax + 1) // 2
         lneg = self.lmax // 2

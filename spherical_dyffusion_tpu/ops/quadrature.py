@@ -156,6 +156,34 @@ def precompute_legendre(lmax: int, mmax: int, x: np.ndarray) -> np.ndarray:
     return _precompute_legendre_cached(lmax, mmax, tuple(np.asarray(x, np.float64).tolist()))
 
 
+@functools.lru_cache(maxsize=32)
+def dft_matrices(nlon: int, mmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real DFT matrices for the longitude stage as MXU matmuls.
+
+    On TPU, XLA lowers ``jnp.fft`` to slow windowed fusions; for climate-size
+    nlon (360) an explicit DFT matmul in bf16 is several times faster and
+    fuses with the Legendre stage.
+
+    Returns
+    -------
+    fwd : (nlon, mmax, 2) — rfft with norm="forward":
+          X_m = sum_w x_w [cos - i sin](2 pi w m / W) / W
+    inv : (mmax, nlon, 2) — irfft with norm="forward" (Hermitian doubling):
+          x_w = sum_m c_m [Re X_m cos + Im X_m (-sin)](2 pi w m / W),
+          c_0 = 1, c_Nyquist = 1 (even W), else 2.
+    """
+    w = np.arange(nlon)[:, None]
+    m = np.arange(mmax)[None, :]
+    ang = 2.0 * np.pi * w * m / nlon
+    fwd = np.stack([np.cos(ang) / nlon, -np.sin(ang) / nlon], axis=-1)
+    c = np.full(mmax, 2.0)
+    c[0] = 1.0
+    if nlon % 2 == 0 and mmax == nlon // 2 + 1:
+        c[-1] = 1.0
+    inv = np.stack([(c[:, None]) * np.cos(ang.T), -(c[:, None]) * np.sin(ang.T)], axis=-1)
+    return fwd, inv
+
+
 def sht_matrices(
     nlat: int,
     grid: str,

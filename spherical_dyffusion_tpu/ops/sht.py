@@ -25,9 +25,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .quadrature import sht_matrices
+from .quadrature import dft_matrices, sht_matrices
 
 __all__ = ["RealSHT", "InverseRealSHT"]
+
+
+def _effective_matmul_dtype(requested: str) -> str:
+    """bf16 x bf16 -> f32 dots are unsupported by the XLA-CPU DotThunk (the
+    virtual test mesh); fall back to f32 there. Resolved at trace time."""
+    if requested != "float32" and jax.default_backend() == "cpu":
+        return "float32"
+    return requested
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,13 +56,19 @@ class RealSHT:
     # matmul input dtype: float32 (reference-faithful) or bfloat16 (8x MXU
     # throughput, fp32 accumulation)
     matmul_dtype: str = "float32"
+    # longitude stage: "matmul" (explicit DFT on the MXU; much faster than
+    # XLA's TPU FFT lowering at climate grid sizes) or "fft" (jnp.fft)
+    lon_method: str = "matmul"
 
     # populated in __post_init__; excluded from equality/hash
     _analysis: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
+    _dft: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
 
     def __post_init__(self):
         analysis, _ = sht_matrices(self.nlat, self.grid, self.lmax, self.mmax)
         object.__setattr__(self, "_analysis", jnp.asarray(analysis, dtype=jnp.float32))
+        fwd, _ = dft_matrices(self.nlon, self.mmax)
+        object.__setattr__(self, "_dft", jnp.asarray(fwd, dtype=jnp.float32))
 
     @staticmethod
     def create(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None,
@@ -66,25 +81,37 @@ class RealSHT:
     def matrix(self) -> jax.Array:
         return self._analysis
 
-    def __call__(self, x: jax.Array, matrix: jax.Array | None = None) -> jax.Array:
+    def __call__(self, x: jax.Array, matrix: jax.Array | None = None,
+                 dft: jax.Array | None = None) -> jax.Array:
         """x: (..., nlat, nlon, C) real -> (..., lmax, mmax, C) complex64.
 
-        ``matrix`` lets callers pass the (possibly traced) Legendre analysis
-        matrix as a runtime argument instead of a baked-in constant — large
-        embedded literals blow up remotely-compiled program payloads.
+        ``matrix``/``dft`` let callers pass the (possibly traced) Legendre /
+        DFT matrices as runtime arguments instead of baked-in constants —
+        large embedded literals blow up remotely-compiled program payloads.
         """
         m = self._analysis if matrix is None else matrix
         x = x.astype(jnp.float32)
-        # longitude FFT with 1/nlon (norm="forward"), truncate to mmax
-        xf = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
+        mmd = _effective_matmul_dtype(self.matmul_dtype)
+        md = m.astype(mmd)
+        if self.lon_method == "matmul":
+            d = (self._dft if dft is None else dft).astype(mmd)
+            xd = x.astype(mmd)
+            # longitude DFT as two MXU matmuls over w
+            xr = jnp.einsum("...hwc,wm->...hmc", xd, d[..., 0],
+                            preferred_element_type=jnp.float32)
+            xi = jnp.einsum("...hwc,wm->...hmc", xd, d[..., 1],
+                            preferred_element_type=jnp.float32)
+        else:
+            # longitude FFT with 1/nlon (norm="forward"), truncate to mmax
+            xf = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
+            xr, xi = xf.real, xf.imag
         # latitude Legendre analysis: one MXU matmul batched over m
         # (..., h, m, c) x (h, l, m) -> (..., l, m, c); real/imag decomposed so
         # the matmul inputs can ride bf16 (8x MXU throughput) with fp32
         # accumulation when requested
-        md = m.astype(self.matmul_dtype)
-        re = jnp.einsum("...hmc,hlm->...lmc", xf.real.astype(self.matmul_dtype), md,
+        re = jnp.einsum("...hmc,hlm->...lmc", xr.astype(mmd), md,
                         preferred_element_type=jnp.float32)
-        im = jnp.einsum("...hmc,hlm->...lmc", xf.imag.astype(self.matmul_dtype), md,
+        im = jnp.einsum("...hmc,hlm->...lmc", xi.astype(mmd), md,
                         preferred_element_type=jnp.float32)
         return jax.lax.complex(re, im)
 
@@ -99,12 +126,16 @@ class InverseRealSHT:
     mmax: int
     grid: str = "equiangular"
     matmul_dtype: str = "float32"
+    lon_method: str = "matmul"
 
     _synthesis: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
+    _dft: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
 
     def __post_init__(self):
         _, synthesis = sht_matrices(self.nlat, self.grid, self.lmax, self.mmax)
         object.__setattr__(self, "_synthesis", jnp.asarray(synthesis, dtype=jnp.float32))
+        _, inv = dft_matrices(self.nlon, self.mmax)
+        object.__setattr__(self, "_dft", jnp.asarray(inv, dtype=jnp.float32))
 
     @staticmethod
     def create(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None,
@@ -117,16 +148,26 @@ class InverseRealSHT:
     def matrix(self) -> jax.Array:
         return self._synthesis
 
-    def __call__(self, x: jax.Array, matrix: jax.Array | None = None) -> jax.Array:
+    def __call__(self, x: jax.Array, matrix: jax.Array | None = None,
+                 dft: jax.Array | None = None) -> jax.Array:
         """x: (..., lmax, mmax, C) complex -> (..., nlat, nlon, C) real float32."""
         m = self._synthesis if matrix is None else matrix
         x = x.astype(jnp.complex64)
         # latitude synthesis (real/imag decomposed; see RealSHT.__call__)
-        md = m.astype(self.matmul_dtype)
-        re = jnp.einsum("...lmc,hlm->...hmc", x.real.astype(self.matmul_dtype), md,
+        mmd = _effective_matmul_dtype(self.matmul_dtype)
+        md = m.astype(mmd)
+        re = jnp.einsum("...lmc,hlm->...hmc", x.real.astype(mmd), md,
                         preferred_element_type=jnp.float32)
-        im = jnp.einsum("...lmc,hlm->...hmc", x.imag.astype(self.matmul_dtype), md,
+        im = jnp.einsum("...lmc,hlm->...hmc", x.imag.astype(mmd), md,
                         preferred_element_type=jnp.float32)
+        if self.lon_method == "matmul":
+            d = (self._dft if dft is None else dft).astype(mmd)
+            # Hermitian inverse DFT as one fused matmul pair over m
+            out = jnp.einsum("...hmc,mw->...hwc", re.astype(mmd),
+                             d[..., 0], preferred_element_type=jnp.float32)
+            out = out + jnp.einsum("...hmc,mw->...hwc", im.astype(mmd),
+                                   d[..., 1], preferred_element_type=jnp.float32)
+            return out
         xf = jax.lax.complex(re, im)
         # pad azimuthal modes up to nlon//2+1 if truncated, then Hermitian inverse FFT
         full_m = self.nlon // 2 + 1

@@ -153,3 +153,22 @@ def test_pallas_dhconv_matches_einsum():
     got = dhconv_pallas(x, w, interpret=True)
     np.testing.assert_allclose(np.asarray(got.real), np.asarray(want.real), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.imag), np.asarray(want.imag), atol=1e-4)
+
+
+def test_matmul_dft_matches_fft_path():
+    """The MXU matmul-DFT longitude stage must match jnp.fft numerics."""
+    nlat, nlon = 16, 32
+    for grid in ["legendre-gauss", "equiangular"]:
+        s_fft = RealSHT.create(nlat, nlon, grid=grid)
+        s_mm = RealSHT.create(nlat, nlon, grid=grid)
+        import dataclasses as dc
+
+        s_fft = dc.replace(s_fft, lon_method="fft")
+        i_fft = dc.replace(InverseRealSHT.create(nlat, nlon, grid=grid), lon_method="fft")
+        i_mm = InverseRealSHT.create(nlat, nlon, grid=grid)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, nlat, nlon, 3)), jnp.float32)
+        a, b = s_fft(x), s_mm(x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        ya, yb = i_fft(a), i_mm(a)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-5)
