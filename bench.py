@@ -16,7 +16,6 @@ BENCH_LAYERS, BENCH_ENSEMBLE.
 
 import json
 import os
-import sys
 import time
 
 import jax
@@ -26,19 +25,9 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__fi
 import jax.numpy as jnp
 import numpy as np
 
-from spherical_dyffusion_tpu.data import (
-    DataModuleConfig,
-    Packer,
-    StandardNormalizer,
-    SyntheticTimeSeries,
-)
+from spherical_dyffusion_tpu.data import Packer, StandardNormalizer, SyntheticTimeSeries
 from spherical_dyffusion_tpu.diffusion import DYffusionConfig
-from spherical_dyffusion_tpu.inference import (
-    DYffusionStepper,
-    InferenceConfig,
-    PrescriberConfig,
-    run_inference,
-)
+from spherical_dyffusion_tpu.inference import DYffusionStepper, PrescriberConfig
 from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
 from spherical_dyffusion_tpu.training import (
     DYffusionForecastingExperiment,

@@ -13,7 +13,6 @@ tiny host-side numpy. Metric taxonomy matches the reference:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Sequence
 
 import jax

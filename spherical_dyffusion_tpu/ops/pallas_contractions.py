@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 try:
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     PALLAS_AVAILABLE = True
 except ImportError:  # pragma: no cover

@@ -22,7 +22,6 @@ around the transforms under autocast, s2convolutions.py:164-191).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import numpy as np
 def run_model(config_path: Optional[str], overrides: List[str]) -> dict:
     from .interface import get_datamodule, get_experiment, save_experiment_checkpoint
     from .training import Trainer, TrainerConfig
-    from .utils.config import apply_dotlist, load_config
+    from .utils.config import load_config
 
     default_cfg = os.path.join(os.path.dirname(__file__), "configs", "main.yaml")
     # hydra-style: `experiment=<name>` loads configs/experiment/<name>.yaml

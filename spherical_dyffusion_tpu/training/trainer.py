@@ -31,7 +31,7 @@ import optax
 from flax import serialization, struct
 
 from ..evaluation import metrics as M
-from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, replicated, shard_batch
 from .ema import EmaState, ema_init, ema_update
 from .schedules import get_scheduler
 
