@@ -120,10 +120,21 @@ def main():
         (n_ensemble, 1, 1))
     x = jnp.zeros((n_ensemble, 180, 360, 35), jnp.float32)
 
-    t0 = time.time()
-    x, _ = stepper.run_window(x, forcing, sst, mask, jr.PRNGKey(0), window)
-    jax.block_until_ready(x)
-    compile_s = time.time() - t0
+    # the remote compile service occasionally 500s; retry before giving up
+    compile_s = None
+    for attempt in range(3):
+        try:
+            t0 = time.time()
+            x, _ = stepper.run_window(x, forcing, sst, mask, jr.PRNGKey(0), window)
+            jax.block_until_ready(x)
+            compile_s = time.time() - t0
+            break
+        except Exception as e:
+            print(f"[bench] warmup attempt {attempt} failed: {str(e)[:200]}",
+                  flush=True)
+            time.sleep(10)
+    if compile_s is None:
+        raise RuntimeError("bench warmup failed after retries")
 
     n_windows = max(2, total_steps // window)
     times = []
