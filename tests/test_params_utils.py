@@ -60,3 +60,32 @@ def test_overwrite_weights_matching_and_partial_shapes():
 
     out3 = overwrite_weights(target, source, exclude=["encoder/*"])
     np.testing.assert_array_equal(np.asarray(out3["encoder"]["kernel"]), 1.0)
+
+
+def test_runs_api(tmp_path):
+    """Local runs-query API (wandb_api functional counterpart)."""
+    import json
+    import os
+
+    from spherical_dyffusion_tpu.utils.loggers import JsonlLogger
+    from spherical_dyffusion_tpu.utils.runs_api import RunsApi
+
+    for name, seed, losses in [("runA", 1, [3.0, 2.0, 1.0]), ("runB", 2, [5.0, 4.5, 4.2])]:
+        lg = JsonlLogger(str(tmp_path / name))
+        lg.log_hyperparams({"seed": seed, "model": {"embed_dim": 8}})
+        for i, l in enumerate(losses):
+            lg.log({"val/avg/rmse": l}, step=i)
+        lg.finish()
+
+    api = RunsApi(str(tmp_path))
+    assert [r.name for r in api.runs()] == ["runA", "runB"]
+    assert [r.name for r in api.runs(config_filters={"seed": 2})] == ["runB"]
+    assert [r.name for r in api.runs(config_filters={"model.embed_dim": 8})] == ["runA", "runB"]
+    run = api.get_run("runA")
+    assert run.config["seed"] == 1
+    arr = run.metric_array("val/avg/rmse")
+    assert arr.shape == (3, 2) and arr[-1, 1] == 1.0
+    assert run.best("val/avg/rmse") == 1.0
+    assert run.summary()["val/avg/rmse"] == 1.0
+    best = api.best_run("val/avg/rmse", mode="min")
+    assert best.name == "runA"
