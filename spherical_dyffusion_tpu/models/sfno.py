@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import InverseRealSHT, RealSHT, RealFFT2, InverseRealFFT2, contract
-from ..ops.contractions import contract_dhconv_cp
+from ..ops.contractions import contract_dhconv_cp, contract_dhconv_tt, contract_dhconv_tucker
 from .modules import (
     DropPath,
     InstanceNorm2d,
@@ -155,8 +155,8 @@ class SpectralConvS2(nn.Module):
     fwd_key: str = ""  # "data" | "model" | "" (no external matrices)
     inv_key: str = ""
     matmul_dtype: str = ""  # "" -> float32 contraction
-    factorization: str = ""  # "" (dense) | "cp" (reference tltorch ComplexCP)
-    rank: float = 1.0  # CP rank as a fraction of min(ci, co)
+    factorization: str = ""  # "" (dense) | "cp" | "tucker" | "tt"
+    rank: float = 1.0  # factorization rank as a fraction of min(ci, co)
 
     @nn.compact
     def __call__(self, x: jax.Array, mats=None) -> tuple[jax.Array, jax.Array]:
@@ -167,16 +167,32 @@ class SpectralConvS2(nn.Module):
         inv_d = mats.get(f"dft_inv_{self.inv_key}") if (mats and self.inv_key) else None
         lmax, mmax = self.forward_transform.lmax, self.forward_transform.mmax
         scale = 1.0 / (self.in_channels * self.out_channels)
-        if self.factorization == "cp":
+        if self.factorization:
             if self.operator_type != "dhconv":
-                raise NotImplementedError("CP factorization implemented for dhconv")
+                raise NotImplementedError("factorizations implemented for dhconv")
             R = max(1, int(self.rank * min(self.in_channels, self.out_channels)))
             init = nn.initializers.normal(stddev=scale ** (1.0 / 3.0))
-            weight = {
-                "A": self.param("cp_A", init, (self.in_channels, R, 2)),
-                "B": self.param("cp_B", init, (self.out_channels, R, 2)),
-                "C": self.param("cp_C", init, (lmax, R, 2)),
-            }
+            if self.factorization == "cp":
+                weight = {
+                    "A": self.param("cp_A", init, (self.in_channels, R, 2)),
+                    "B": self.param("cp_B", init, (self.out_channels, R, 2)),
+                    "C": self.param("cp_C", init, (lmax, R, 2)),
+                }
+            elif self.factorization == "tucker":
+                weight = {
+                    "A": self.param("tucker_A", init, (self.in_channels, R, 2)),
+                    "B": self.param("tucker_B", init, (self.out_channels, R, 2)),
+                    "C": self.param("tucker_C", init, (lmax, R, 2)),
+                    "core": self.param("tucker_core", init, (R, R, R, 2)),
+                }
+            elif self.factorization == "tt":
+                weight = {
+                    "G1": self.param("tt_G1", init, (self.in_channels, R, 2)),
+                    "G2": self.param("tt_G2", init, (R, self.out_channels, R, 2)),
+                    "G3": self.param("tt_G3", init, (R, lmax, 2)),
+                }
+            else:
+                raise ValueError(f"Unknown factorization {self.factorization!r}")
         else:
             wshape = [self.in_channels]
             if not self.separable:
@@ -202,6 +218,10 @@ class SpectralConvS2(nn.Module):
 
         if self.factorization == "cp":
             xs = contract_dhconv_cp(xs, weight, matmul_dtype=self.matmul_dtype or None)
+        elif self.factorization == "tucker":
+            xs = contract_dhconv_tucker(xs, weight)
+        elif self.factorization == "tt":
+            xs = contract_dhconv_tt(xs, weight)
         else:
             xs = contract(xs, weight, self.operator_type, self.separable,
                           matmul_dtype=self.matmul_dtype or None)

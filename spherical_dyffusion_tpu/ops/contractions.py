@@ -30,7 +30,8 @@ def _effective_matmul_dtype(requested):
         return None
     return requested
 
-__all__ = ["contract_dhconv", "contract_diagonal", "contract_dhconv_cp", "contract"]
+__all__ = ["contract_dhconv", "contract_diagonal", "contract_dhconv_cp",
+           "contract_dhconv_tucker", "contract_dhconv_tt", "contract"]
 
 
 def _as_complex(w: jax.Array) -> jax.Array:
@@ -132,6 +133,42 @@ def contract_dhconv_cp(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Ar
     yr = mm(sr, Br.T, "...lmr,ro->...lmo") - mm(si, Bi.T, "...lmr,ro->...lmo")
     yi = mm(sr, Bi.T, "...lmr,ro->...lmo") + mm(si, Br.T, "...lmr,ro->...lmo")
     return jax.lax.complex(yr, yi)
+
+
+def contract_dhconv_tucker(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Array:
+    """Tucker-factorized Driscoll-Healy contraction (reference tltorch
+    ComplexTucker path, factorizations.py:_contract_tucker):
+
+        W[i, o, l] = sum_{r1 r2 r3} G[r1, r2, r3] A[i, r1] B[o, r2] C[l, r3]
+
+    evaluated as  project -> per-l core mix -> expand. factors:
+    {"A": (ci, R1, 2), "B": (co, R2, 2), "C": (l, R3, 2), "core": (R1, R2, R3, 2)}.
+    """
+    A = _as_complex(factors["A"])
+    B = _as_complex(factors["B"])
+    C = _as_complex(factors["C"])
+    G = _as_complex(factors["core"])
+    # per-l mixing kernel K[l, r1, r2] = sum_r3 G[r1, r2, r3] C[l, r3]
+    K = jnp.einsum("pqr,lr->lpq", G, C)
+    p = jnp.einsum("...lmi,ip->...lmp", x.astype(jnp.complex64), A)
+    q = jnp.einsum("...lmp,lpq->...lmq", p, K)
+    return jnp.einsum("...lmq,oq->...lmo", q, B)
+
+
+def contract_dhconv_tt(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Array:
+    """Tensor-train-factorized Driscoll-Healy contraction (reference tltorch
+    ComplexTT path, factorizations.py:_contract_tt):
+
+        W[i, o, l] = sum_{a b} G1[i, a] G2[a, o, b] G3[b, l]
+
+    factors: {"G1": (ci, R1, 2), "G2": (R1, co, R2, 2), "G3": (R2, l, 2)}.
+    """
+    G1 = _as_complex(factors["G1"])
+    G2 = _as_complex(factors["G2"])
+    G3 = _as_complex(factors["G3"])
+    p = jnp.einsum("...lmi,ia->...lma", x.astype(jnp.complex64), G1)
+    q = jnp.einsum("...lma,aob->...lmob", p, G2)
+    return jnp.einsum("...lmob,bl->...lmo", q, G3)
 
 
 def contract(x: jax.Array, w: jax.Array, operator_type: str, separable: bool = False,

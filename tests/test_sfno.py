@@ -181,3 +181,55 @@ def test_cp_factorized_spectral_weights():
     want = contract_dhconv(xs, w_dense)
     got = contract_dhconv_cp(xs, f)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.parametrize("fact", ["tucker", "tt"])
+def test_tucker_tt_factorized_filters(fact):
+    cfg = tiny_cfg(factorization=fact, rank=0.5)
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 32, 3)
+    assert np.isfinite(np.asarray(y)).all()
+    g = jax.grad(lambda p: jnp.mean(model.apply(p, x) ** 2))(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g["params"]))
+    assert np.isfinite(total) and total > 0
+
+
+def test_tucker_tt_match_dense_equivalent():
+    from spherical_dyffusion_tpu.ops.contractions import (
+        contract_dhconv,
+        contract_dhconv_tt,
+        contract_dhconv_tucker,
+    )
+
+    rng = np.random.default_rng(0)
+    ci, co, L, R, M = 3, 4, 5, 6, 7
+
+    def c(shape):
+        return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    xs = jnp.asarray(rng.standard_normal((2, L, M, ci))
+                     + 1j * rng.standard_normal((2, L, M, ci)), jnp.complex64)
+
+    tuck = {"A": c((ci, R, 2)), "B": c((co, R, 2)), "C": c((L, R, 2)),
+            "core": c((R, R, R, 2))}
+    Ac, Bc, Cc, Gc = [np.asarray(tuck[k][..., 0] + 1j * tuck[k][..., 1])
+                      for k in ["A", "B", "C", "core"]]
+    dense_t = np.einsum("pqr,ip,oq,lr->iol", Gc, Ac, Bc, Cc)
+    w_t = jnp.stack([jnp.asarray(dense_t.real), jnp.asarray(dense_t.imag)], -1)
+    np.testing.assert_allclose(
+        np.asarray(contract_dhconv_tucker(xs, tuck)),
+        np.asarray(contract_dhconv(xs, w_t)), atol=2e-3,
+    )
+
+    tt = {"G1": c((ci, R, 2)), "G2": c((R, co, R, 2)), "G3": c((R, L, 2))}
+    G1, G2, G3 = [np.asarray(tt[k][..., 0] + 1j * tt[k][..., 1])
+                  for k in ["G1", "G2", "G3"]]
+    dense_tt = np.einsum("ia,aob,bl->iol", G1, G2, G3)
+    w_tt = jnp.stack([jnp.asarray(dense_tt.real), jnp.asarray(dense_tt.imag)], -1)
+    np.testing.assert_allclose(
+        np.asarray(contract_dhconv_tt(xs, tt)),
+        np.asarray(contract_dhconv(xs, w_tt)), atol=2e-3,
+    )
