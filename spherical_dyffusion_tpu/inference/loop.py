@@ -150,6 +150,19 @@ def run_inference(
 
     it = iter(windows)
     n_done = 0
+    pending = []  # deferred (device preds, window data) awaiting host work
+
+    def _drain(item):
+        preds_raw, w_data, w_start, w_steps = item
+        preds_raw_host = np.asarray(preds_raw)
+        targets_raw = np.stack(
+            [w_data[n][1 : w_steps + 1] for n in out_names], axis=-1
+        )
+        if aggregator is not None:
+            aggregator.record_batch(preds_raw_host, targets_raw, start_step=w_start)
+        if writer is not None:
+            writer.append(preds_raw_host, targets_raw)
+
     while True:
         t0 = time.time()
         try:
@@ -204,10 +217,12 @@ def run_inference(
         )
         consume = aggregator is not None or writer is not None
         if consume:
-            # denormalize on device; host transfer overlaps with the next
-            # window's compute thanks to async dispatch (we only block when
-            # converting to numpy below)
-            preds_raw = out_norm.denormalize(preds_norm)
+            # denormalize on device; defer host materialization until AFTER
+            # the NEXT window has been dispatched, so host-side aggregation
+            # overlaps with device compute (async dispatch pipelining)
+            pending.append(
+                (out_norm.denormalize(preds_norm), data, start_step, n_steps)
+            )
         else:
             # nothing consumes the predictions: only the carried state matters
             # (pure-throughput benchmarking); avoid 100MB/window transfers
@@ -215,15 +230,9 @@ def run_inference(
         timers["run_on_batch"] += time.time() - t0
 
         t0 = time.time()
-        if consume:
-            preds_raw_host = np.asarray(preds_raw)
-            targets_raw = np.stack(
-                [data[n][1 : n_steps + 1] for n in out_names], axis=-1
-            )
-            if aggregator is not None:
-                aggregator.record_batch(preds_raw_host, targets_raw, start_step=start_step)
-            if writer is not None:
-                writer.append(preds_raw_host, targets_raw)
+        # process the PREVIOUS window's outputs while this one computes
+        while len(pending) > (1 if consume else 0):
+            _drain(pending.pop(0))
         timers["writer_and_aggregator"] += time.time() - t0
         n_done += n_steps
         if verbose:
@@ -232,6 +241,11 @@ def run_inference(
                 f"[rollout] steps {n_done}/{cfg.n_forward_steps} "
                 f"({n_done / el:.2f} steps/s)", flush=True,
             )
+
+    t0 = time.time()
+    for item in pending:  # flush the last window's deferred host work
+        _drain(item)
+    timers["writer_and_aggregator"] += time.time() - t0
 
     duration = time.time() - t_start
     summary = {
