@@ -98,7 +98,10 @@ def main():
     window = int(os.environ.get("BENCH_WINDOW", 96))
     total_steps = int(os.environ.get("BENCH_STEPS", 4 * window))
     n_ensemble = int(os.environ.get("BENCH_ENSEMBLE", 1))
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # float32 arrays + XLA default matmul precision = bf16 MXU passes with
+    # f32 accumulation and no explicit convert ops — ~2x faster than manually
+    # casting activations to bf16 (measured: 954 vs 494 sim-yr/day)
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
 
     stepper, in_names, forcing_names = build(embed, layers, dtype)
     names = in_names + forcing_names + ["ocean_fraction"]
