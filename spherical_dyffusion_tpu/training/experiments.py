@@ -236,16 +236,21 @@ class DYffusionForecastingExperiment:
         self.criterion = get_loss_fn(cfg.loss_function)
         self._out_idx = _out_indices(in_packer, out_packer)
 
-    def _interp_fn(self, ip_params=None):
+    def _interp_fn(self, ip_params=None, training: bool = False):
         """Interpolate-fn over explicit params. Callers inside jit MUST pass
         ``ip_params`` as a traced argument — closing over the stored params
         embeds ~hundreds of MB of literals into the compiled program, which
         breaks remote compilation (same failure class as baked-in SHT
-        matrices)."""
+        matrices).
+
+        The interpolator's stochastic dropout is always on during training
+        (reference q_sample: ``do_enable = self.training or ...``,
+        dyffusion.py:226-231)."""
+        use_do = training or bool(self.diffusion_cfg.enable_interpolator_dropout)
         return self.interpolator.make_interpolate_fn(
             ip_params if ip_params is not None else self.interpolator_params,
             hack_for_imprecise_interpolation=self.diffusion_cfg.hack_for_imprecise_interpolation,
-            use_inference_dropout=bool(self.diffusion_cfg.enable_interpolator_dropout),
+            use_inference_dropout=use_do,
         )
 
     def _forecast_fn(self, params, deterministic: bool = True,
@@ -287,7 +292,7 @@ class DYffusionForecastingExperiment:
         if static_condition is not None:
             cond_kwargs["static_condition"] = static_condition
         losses = p_losses(
-            self._interp_fn(aux_params),
+            self._interp_fn(aux_params, training=True),
             self._forecast_fn(params, deterministic=False, rng=rng_drop),
             self.diffusion_cfg,
             self.sched,
