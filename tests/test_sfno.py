@@ -233,3 +233,41 @@ def test_tucker_tt_match_dense_equivalent():
         np.asarray(contract_dhconv_tt(xs, tt)),
         np.asarray(contract_dhconv(xs, w_tt)), atol=2e-3,
     )
+
+
+def test_time_rescale():
+    """time_rescale maps [min,max] to [0,1000] (reference set_min_max_time,
+    sfnonet.py:761-773): outputs differ from the unrescaled model but are
+    consistent for equivalent scaled inputs."""
+    cfg = tiny_cfg(with_time_emb=True, time_rescale=True, min_time=1.0, max_time=5.0)
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x, time=jnp.asarray([1.0]))
+    y_min = model.apply(params, x, time=jnp.asarray([1.0]))
+    y_max = model.apply(params, x, time=jnp.asarray([5.0]))
+    assert not np.allclose(np.asarray(y_min), np.asarray(y_max))
+    # rescaled t=1 (-> 0) equals an unrescaled model at t=0 given same params
+    cfg2 = tiny_cfg(with_time_emb=True, time_rescale=False)
+    y0 = SFNO(cfg2).apply(params, x, time=jnp.asarray([0.0]))
+    np.testing.assert_allclose(np.asarray(y_min), np.asarray(y0), atol=1e-5)
+
+
+def test_layer_norm_variant():
+    cfg = tiny_cfg(normalization_layer="layer_norm")
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    assert "scale" in params["params"]["block_0"]["norm0"]
+    y = model.apply(params, x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_separable_and_diagonal_operators():
+    for op, sep in [("diagonal", False), ("dhconv", True)]:
+        cfg = tiny_cfg(operator_type=op, separable=sep)
+        model = SFNO(cfg)
+        x = jnp.ones((1, 16, 32, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(params, x)
+        assert y.shape == (1, 16, 32, 3), (op, sep)
+        assert np.isfinite(np.asarray(y)).all()
