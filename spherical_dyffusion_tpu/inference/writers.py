@@ -38,11 +38,17 @@ class PredictionWriter:
         self.f.create_dataset("lon", data=np.asarray(lon))
         H, W = len(lat), len(lon)
         self._dsets = {}
+        from ..utils.naming import variable_metadata
+
         for n in self.names:
             self._dsets[n] = self.f.create_dataset(
                 n, shape=(n_ensemble, 0, H, W), maxshape=(n_ensemble, None, H, W),
                 dtype="f4", chunks=(1, 1, H, W), compression=None,
             )
+            ln, u = variable_metadata(n)
+            self._dsets[n].attrs["long_name"] = ln
+            if u:
+                self._dsets[n].attrs["units"] = u
             if save_targets:
                 self._dsets["target_" + n] = self.f.create_dataset(
                     "target_" + n, shape=(0, H, W), maxshape=(None, H, W),

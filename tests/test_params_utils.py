@@ -89,3 +89,13 @@ def test_runs_api(tmp_path):
     assert run.summary()["val/avg/rmse"] == 1.0
     best = api.best_run("val/avg/rmse", mode="min")
     assert best.name == "runA"
+
+
+def test_variable_metadata():
+    from spherical_dyffusion_tpu.utils.naming import long_name, units, variable_metadata
+
+    assert units("PRESsfc") == "Pa"
+    assert long_name("air_temperature_3") == "air temperature (level 3)"
+    assert units("specific_total_water_0") == "kg/kg"
+    ln, u = variable_metadata("unknown_thing")
+    assert ln == "unknown thing" and u == ""
