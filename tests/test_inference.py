@@ -285,3 +285,32 @@ def test_ensemble_chunking_equivalent_shapes(tmp_path):
     logs = agg.get_logs()
     assert np.isfinite(logs["inference/avg/rmse"])
     assert any("crps" in k for k in logs)
+
+
+def test_rollout_determinism_and_ensemble_divergence():
+    """Same seed -> bitwise-identical rollout (determinism, reference §5.2);
+    different ensemble rngs -> diverging members (stochastic interpolator)."""
+    names = ["a", "b"]
+    H_, W_ = 8, 16
+    norm = StandardNormalizer.from_dicts({n: 0.0 for n in names},
+                                         {n: 1.0 for n in names}, names)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((1, H_, W_, 2)) * 0.01, jnp.float32)
+    exp = _LinearWorldExperiment(names, v, norm)
+    stepper = DYffusionStepper(exp, params=None)
+    x0 = jnp.asarray(rng.standard_normal((1, H_, W_, 2)), jnp.float32)
+    _, p1 = stepper.run_window(x0, None, None, None, jax.random.PRNGKey(7), 8)
+    _, p2 = stepper.run_window(x0, None, None, None, jax.random.PRNGKey(7), 8)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    # stochastic world: a real dropout interpolator diverges across member rngs
+    HORIZON = 4
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=HORIZON,
+                         n_forcing=1, batch_size=8, n_timesteps=64)
+    exp2, params2 = _train_tiny_dyffusion(dm, HORIZON)
+    st2 = DYffusionStepper(exp2, params2)
+    x = jnp.zeros((2, 8, 16, 2))  # two members, same initial condition
+    f = jnp.zeros((2, HORIZON + 1, 8, 16, 1))
+    _, preds = st2.run_window(x, f, None, None, jax.random.PRNGKey(0), HORIZON)
+    # members share the window rng stream but dropout masks differ per batch row
+    assert not np.allclose(np.asarray(preds[0]), np.asarray(preds[1]))
