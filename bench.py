@@ -39,7 +39,7 @@ STEPS_PER_SIM_YEAR = 1460  # 6-hourly steps
 BASELINE_SIM_YEARS_PER_DAY = 25.0
 
 
-def build(embed=256, layers=8, dtype="float32"):
+def build(embed=256, layers=8, dtype="float32", fold=False):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -60,6 +60,7 @@ def build(embed=256, layers=8, dtype="float32"):
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         dropout_mlp=0.1, drop_path_rate=0.1, min_time=1, max_time=horizon - 1,
         data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
+        sht_fold_symmetry=fold,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -67,7 +68,7 @@ def build(embed=256, layers=8, dtype="float32"):
         img_shape=(H, W), in_chans=C + CF, out_chans=C, embed_dim=embed,
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         min_time=0, max_time=horizon - 1, data_grid="equiangular",
-        compute_dtype=dtype, sht_matmul_dtype=dtype,
+        compute_dtype=dtype, sht_matmul_dtype=dtype, sht_fold_symmetry=fold,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -102,8 +103,9 @@ def main():
     # f32 accumulation and no explicit convert ops — ~2x faster than manually
     # casting activations to bf16 (measured: 954 vs 494 sim-yr/day)
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    fold = os.environ.get("BENCH_FOLD", "0") == "1"
 
-    stepper, in_names, forcing_names = build(embed, layers, dtype)
+    stepper, in_names, forcing_names = build(embed, layers, dtype, fold)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 

@@ -90,6 +90,8 @@ class SFNOConfig:
     # SHT/contraction matmul input dtype: float32 is reference-faithful;
     # bfloat16 gives ~8x MXU throughput with fp32 accumulation
     sht_matmul_dtype: str = "float32"
+    # even/odd latitude symmetry folding in the Legendre stage (2x fewer FLOPs)
+    sht_fold_symmetry: bool = False
     # debug mode shrinks the model like the reference (sfnonet.py:468-471)
     debug_mode: bool = False
 
@@ -122,11 +124,18 @@ def _build_transforms(cfg: SFNOConfig):
     H, W = cfg.img_shape
     h, w = cfg.model_shape
     if cfg.spectral_transform == "sht":
+        import dataclasses as _dc
+
         md = cfg.sht_matmul_dtype
         trans_down = RealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid, matmul_dtype=md)
         itrans_up = InverseRealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid, matmul_dtype=md)
         trans = RealSHT.create(h, w, lmax, mmax, grid="legendre-gauss", matmul_dtype=md)
         itrans = InverseRealSHT.create(h, w, lmax, mmax, grid="legendre-gauss", matmul_dtype=md)
+        if cfg.sht_fold_symmetry:
+            trans_down = _dc.replace(trans_down, fold_symmetry=True)
+            itrans_up = _dc.replace(itrans_up, fold_symmetry=True)
+            trans = _dc.replace(trans, fold_symmetry=True)
+            itrans = _dc.replace(itrans, fold_symmetry=True)
     elif cfg.spectral_transform == "fft":
         trans_down = RealFFT2.create(H, W, lmax, mmax)
         itrans_up = InverseRealFFT2.create(H, W, lmax, mmax)

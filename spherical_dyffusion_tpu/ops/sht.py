@@ -40,6 +40,57 @@ def _effective_matmul_dtype(requested: str) -> str:
     return requested
 
 
+def _analysis_folded(x: jax.Array, A: jax.Array, nlat: int, lmax: int) -> jax.Array:
+    """Even/odd-folded Legendre analysis.
+
+    Uses P_l^m(-cos th) = (-1)^(l+m) P_l^m(cos th) on symmetric nodes:
+    out[l, m] = sum_{h < H/2} A[h, l, m] * (e if (l+m) even else o)[h, m]
+    with e/o the symmetric/antisymmetric halves of x — two half-size matmuls
+    instead of one full-size one (2x fewer FLOPs).
+
+    x: (..., H, M, C); A: (H, L, M) analysis matrix (incl. quadrature).
+    """
+    H2, L2 = nlat // 2, lmax // 2
+    top = x[..., :H2, :, :]
+    bot = jnp.flip(x[..., H2:, :, :], axis=-3)
+    e = top + bot
+    o = top - bot
+    m_even = (jnp.arange(A.shape[-1]) % 2 == 0)[:, None]  # (M, 1)
+    # inputs for even-l rows take e when m even (l+m even) else o, and
+    # conversely for odd-l rows
+    in_el = jnp.where(m_even, e, o)
+    in_ol = jnp.where(m_even, o, e)
+    A_el = A[:H2, 0::2, :]
+    A_ol = A[:H2, 1::2, :]
+    out_e = jnp.einsum("...hmc,hjm->...jmc", in_el, A_el,
+                       preferred_element_type=jnp.float32)
+    out_o = jnp.einsum("...hmc,hjm->...jmc", in_ol, A_ol,
+                       preferred_element_type=jnp.float32)
+    inter = jnp.stack([out_e, out_o], axis=-3)  # (..., L/2, 2, M, C)
+    shape = inter.shape[:-4] + (lmax,) + inter.shape[-2:]
+    return inter.reshape(shape)
+
+
+def _synthesis_folded(cr: jax.Array, S: jax.Array, nlat: int, lmax: int) -> jax.Array:
+    """Even/odd-folded Legendre synthesis (adjoint of _analysis_folded).
+
+    xf[h] = E + O and xf[H-1-h] = (-1)^m (E - O), where E/O are the even-/odd-l
+    partial syntheses over the top half of the latitudes.
+    cr: (..., L, M, C) real part; S: (H, L, M) synthesis matrix.
+    """
+    H2 = nlat // 2
+    S_el = S[:H2, 0::2, :]
+    S_ol = S[:H2, 1::2, :]
+    E = jnp.einsum("...jmc,hjm->...hmc", cr[..., 0::2, :, :], S_el,
+                   preferred_element_type=jnp.float32)
+    O = jnp.einsum("...jmc,hjm->...hmc", cr[..., 1::2, :, :], S_ol,
+                   preferred_element_type=jnp.float32)
+    sign_m = jnp.where(jnp.arange(S.shape[-1]) % 2 == 0, 1.0, -1.0)[:, None]
+    top = E + O
+    bottom = jnp.flip((E - O) * sign_m, axis=-3)
+    return jnp.concatenate([top, bottom], axis=-3)
+
+
 
 @dataclasses.dataclass(frozen=True)
 class RealSHT:
@@ -61,6 +112,13 @@ class RealSHT:
     # longitude stage: "matmul" (explicit DFT on the MXU; much faster than
     # XLA's TPU FFT lowering at climate grid sizes) or "fft" (jnp.fft)
     lon_method: str = "matmul"
+    # even/odd latitude symmetry folding (SHTns-style): P_l^m(-x) =
+    # (-1)^(l+m) P_l^m(x) on the symmetric node sets halves the Legendre
+    # contraction FLOPs. Requires even nlat and even lmax. Measured SLOWER at
+    # 180x360/embed-256 on v5e (half-size matmul padding outweighs the FLOP
+    # savings: 814 vs 966 sim-yr/day) — intended for higher resolutions
+    # (e.g. 721x1440) where the matmuls stay MXU-saturated after halving.
+    fold_symmetry: bool = False
 
     # populated in __post_init__; excluded from equality/hash
     _analysis: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
@@ -111,10 +169,14 @@ class RealSHT:
         # (..., h, m, c) x (h, l, m) -> (..., l, m, c); real/imag decomposed so
         # the matmul inputs can ride bf16 (8x MXU throughput) with fp32
         # accumulation when requested
-        re = jnp.einsum("...hmc,hlm->...lmc", xr.astype(mmd), md,
-                        preferred_element_type=jnp.float32)
-        im = jnp.einsum("...hmc,hlm->...lmc", xi.astype(mmd), md,
-                        preferred_element_type=jnp.float32)
+        if self.fold_symmetry and self.nlat % 2 == 0 and self.lmax % 2 == 0:
+            re = _analysis_folded(xr.astype(mmd), md, self.nlat, self.lmax)
+            im = _analysis_folded(xi.astype(mmd), md, self.nlat, self.lmax)
+        else:
+            re = jnp.einsum("...hmc,hlm->...lmc", xr.astype(mmd), md,
+                            preferred_element_type=jnp.float32)
+            im = jnp.einsum("...hmc,hlm->...lmc", xi.astype(mmd), md,
+                            preferred_element_type=jnp.float32)
         return jax.lax.complex(re, im)
 
 
@@ -129,6 +191,7 @@ class InverseRealSHT:
     grid: str = "equiangular"
     matmul_dtype: str = "float32"
     lon_method: str = "matmul"
+    fold_symmetry: bool = False
 
     _synthesis: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
     _dft: jax.Array = dataclasses.field(default=None, compare=False, repr=False)
@@ -158,10 +221,14 @@ class InverseRealSHT:
         # latitude synthesis (real/imag decomposed; see RealSHT.__call__)
         mmd = _effective_matmul_dtype(self.matmul_dtype)
         md = m.astype(mmd)
-        re = jnp.einsum("...lmc,hlm->...hmc", x.real.astype(mmd), md,
-                        preferred_element_type=jnp.float32)
-        im = jnp.einsum("...lmc,hlm->...hmc", x.imag.astype(mmd), md,
-                        preferred_element_type=jnp.float32)
+        if self.fold_symmetry and self.nlat % 2 == 0 and self.lmax % 2 == 0:
+            re = _synthesis_folded(x.real.astype(mmd), md, self.nlat, self.lmax)
+            im = _synthesis_folded(x.imag.astype(mmd), md, self.nlat, self.lmax)
+        else:
+            re = jnp.einsum("...lmc,hlm->...hmc", x.real.astype(mmd), md,
+                            preferred_element_type=jnp.float32)
+            im = jnp.einsum("...lmc,hlm->...hmc", x.imag.astype(mmd), md,
+                            preferred_element_type=jnp.float32)
         if self.lon_method == "matmul":
             d = (self._dft if dft is None else dft).astype(mmd)
             # Hermitian inverse DFT as one fused matmul pair over m

@@ -172,3 +172,24 @@ def test_matmul_dft_matches_fft_path():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
         ya, yb = i_fft(a), i_mm(a)
         np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-5)
+
+
+def test_symmetry_folded_transforms_match_unfolded():
+    """Even/odd latitude folding (2x fewer Legendre FLOPs) is numerically
+    identical to the plain contraction on symmetric grids."""
+    import dataclasses as dc
+
+    for grid in ["legendre-gauss", "equiangular"]:
+        nlat, nlon = 24, 48
+        sht = RealSHT.create(nlat, nlon, grid=grid)
+        sht_f = dc.replace(sht, fold_symmetry=True)
+        isht = InverseRealSHT.create(nlat, nlon, grid=grid)
+        isht_f = dc.replace(isht, fold_symmetry=True)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, nlat, nlon, 3)), jnp.float32)
+        a, b = sht(x), sht_f(x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=grid)
+        ya, yb = isht(a), isht_f(a)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-5,
+                                   err_msg=grid)
