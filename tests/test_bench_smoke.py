@@ -1,0 +1,30 @@
+"""Guards the driver-facing entry points: bench.py must import and construct,
+__graft_entry__.entry() must build a jittable callable."""
+
+import importlib
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_bench_builds_tiny_stepper(monkeypatch):
+    sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+    stepper, in_names, forcing_names = bench.build(embed=8, layers=1)
+    assert len(in_names) == 35 and len(forcing_names) == 2
+    x = jnp.zeros((1, 180, 360, 35))
+    f = jnp.zeros((1, 7, 180, 360, 2))
+    sst = jnp.zeros((1, 7, 180, 360))
+    mask = jnp.zeros((1, 180, 360))
+    xf, preds = stepper.run_window(x, f, sst, mask, jax.random.PRNGKey(0), 6)
+    assert preds.shape == (1, 6, 180, 360, 35)
+    assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_graft_entry_builds():
+    sys.path.insert(0, "/root/repo")
+    g = importlib.import_module("__graft_entry__")
+    fn, args = g.entry()
+    assert callable(fn) and len(args) == 4
