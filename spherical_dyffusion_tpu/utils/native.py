@@ -7,7 +7,9 @@ falls back to pure numpy transparently if a toolchain is unavailable.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 from typing import Optional, Sequence
 
@@ -20,23 +22,34 @@ _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native", "packer.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "libsdy_native.so")
+
+
+def _so_path() -> str:
+    """Cache path keyed on source hash + host arch: a stale or foreign-host
+    binary (e.g. compiled with -march=native elsewhere) is never reused.
+    Built artifacts are gitignored — the library is always compiled locally."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(
+        os.path.dirname(_SRC), f"libsdy_native.{digest}.{platform.machine()}.so"
+    )
 
 
 def build_library(force: bool = False) -> Optional[str]:
-    """Compile native/packer.cpp -> libsdy_native.so (cached by mtime)."""
+    """Compile native/packer.cpp -> a hash-keyed .so (rebuilt on any source
+    or host-arch change)."""
     if not os.path.exists(_SRC):
         return None
-    if (not force and os.path.exists(_SO)
-            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-        return _SO
+    so = _so_path()
+    if not force and os.path.exists(so):
+        return so
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-             _SRC, "-o", _SO],
+             _SRC, "-o", so],
             check=True, capture_output=True,
         )
-        return _SO
+        return so
     except (subprocess.CalledProcessError, FileNotFoundError):
         return None
 

@@ -111,9 +111,15 @@ def sfno_torch_to_flax(torch_sd: Dict[str, np.ndarray], num_layers: int,
     return {"params": p}
 
 
-def sfno_flax_to_torch(params: Dict[str, Any], encoder_layers: int = 1) -> Dict[str, np.ndarray]:
+def sfno_flax_to_torch(params: Dict[str, Any], encoder_layers: int = 1,
+                       mlp_dropout: bool = False) -> Dict[str, np.ndarray]:
     """Inverse of :func:`sfno_torch_to_flax` (used for validation and for
-    exporting our checkpoints to reference-consumable form)."""
+    exporting our checkpoints to reference-consumable form).
+
+    ``mlp_dropout`` mirrors whether the torch MLP Sequential contains a
+    Dropout module, which shifts fc2 from index 2 to 3 (the fc2_idx logic in
+    :func:`sfno_torch_to_flax`); set it when exporting to a reference model
+    built with mlp dropout > 0 so the roundtrip stays an identity."""
     p = params.get("params", params)
     sd: Dict[str, np.ndarray] = {}
     for i in range(encoder_layers):
@@ -151,10 +157,11 @@ def sfno_flax_to_torch(params: Dict[str, Any], encoder_layers: int = 1) -> Dict[
             sd[b + "inner_skip.weight"] = _dense_to_conv1x1(blk["inner_skip"]["kernel"])
             sd[b + "inner_skip.bias"] = np.asarray(blk["inner_skip"]["bias"])
         if "mlp" in blk:
+            fc2_idx = 3 if mlp_dropout else 2
             sd[b + "mlp.fwd.0.weight"] = _dense_to_conv1x1(blk["mlp"]["Dense_0"]["kernel"])
             sd[b + "mlp.fwd.0.bias"] = np.asarray(blk["mlp"]["Dense_0"]["bias"])
-            sd[b + "mlp.fwd.2.weight"] = _dense_to_conv1x1(blk["mlp"]["Dense_1"]["kernel"])
-            sd[b + "mlp.fwd.2.bias"] = np.asarray(blk["mlp"]["Dense_1"]["bias"])
+            sd[b + f"mlp.fwd.{fc2_idx}.weight"] = _dense_to_conv1x1(blk["mlp"]["Dense_1"]["kernel"])
+            sd[b + f"mlp.fwd.{fc2_idx}.bias"] = np.asarray(blk["mlp"]["Dense_1"]["bias"])
         n += 1
     return sd
 

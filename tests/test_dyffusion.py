@@ -216,3 +216,108 @@ def test_scan_sampler_with_artificial_steps():
         np.testing.assert_allclose(
             np.asarray(out.preds[h]), np.asarray(x0 + v * h), atol=1e-4
         )
+
+
+def _nonlinear_world(horizon, shape=(2, 4, 4, 3)):
+    """A world whose interpolator is NONLINEAR in t, so any silent clamping of
+    fractional interpolation times (the k > 0 artificial steps) changes the
+    output — unlike the telescoping linear _exact_world."""
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    v = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    def interpolate_fn(x_end, xl, t, rng_key, **kw):
+        w = ((t / horizon) ** 2).reshape((-1,) + (1,) * (x_end.ndim - 1))
+        return x_end + (xl - x_end) * w
+
+    def forecast_fn(x_t, time, condition, static_condition=None):
+        tt = jnp.asarray(time, jnp.float32).reshape((-1,) + (1,) * (x_t.ndim - 1))
+        return x_t + v * (horizon - tt)
+
+    return x0, interpolate_fn, forecast_fn
+
+
+def test_sample_loop_preserves_fractional_times_k_gt_0():
+    """Regression (ADVICE r1 high): with before_t1_only and k > 0, artificial
+    diffusion steps map to interpolation times in (0, 1) which must reach the
+    interpolator UNCLAMPED (reference _interpolate accepts any t in
+    (0, horizon))."""
+    horizon, k = 4, 2
+    cfg, sched = make({"additional_interpolation_steps": k}, timesteps=horizon)
+    x0, inner_interp, forecast_fn = _nonlinear_world(horizon)
+    seen = []
+
+    def recording_interp(x_end, xl, t, rng_key, **kw):
+        seen.extend(np.unique(np.asarray(t)).tolist())
+        return inner_interp(x_end, xl, t, rng_key, **kw)
+
+    sample_loop(recording_interp, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    # artificial steps d=1,2 map to 1/3, 2/3 — they must be seen verbatim
+    for frac in (1 / 3, 2 / 3):
+        assert any(np.isclose(s, frac, atol=1e-6) for s in seen), (frac, sorted(seen))
+    # nothing in the open interval (0, 1) may have been rounded up to 1 except
+    # genuine integral times
+    assert not any(0 < s < 1 and not any(
+        np.isclose(s, f, atol=1e-6) for f in (1 / 3, 2 / 3)) for s in seen), sorted(seen)
+
+
+def test_scan_sampler_matches_unrolled_with_fractional_times():
+    """The scan sampler must agree with the unrolled sampler in a world where
+    clamping fractional times would change the answer."""
+    from spherical_dyffusion_tpu.diffusion import sample_loop_scan, scan_compatible
+
+    horizon, k = 4, 2
+    cfg, sched = make({"additional_interpolation_steps": k}, timesteps=horizon)
+    assert scan_compatible(cfg, sched)
+    x0, interpolate_fn, forecast_fn = _nonlinear_world(horizon)
+    out_a = sample_loop(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    out_b = sample_loop_scan(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    assert set(out_a.preds) == set(out_b.preds)
+    for h in out_a.preds:
+        np.testing.assert_allclose(
+            np.asarray(out_a.preds[h]), np.asarray(out_b.preds[h]), atol=1e-4, err_msg=str(h)
+        )
+    np.testing.assert_allclose(np.asarray(out_a.x_last), np.asarray(out_b.x_last), atol=1e-4)
+
+
+def test_p_losses_fractional_times_reach_interpolator():
+    """Training-path regression: q_sample inside p_losses must pass k > 0
+    fractional times through (only the masked t == 0 lane is remapped)."""
+    horizon, k = 4, 2
+    cfg, sched = make({"additional_interpolation_steps": k}, timesteps=horizon)
+    x0, inner_interp, forecast_fn = _nonlinear_world(horizon)
+    x_last = forecast_fn(x0, jnp.zeros((x0.shape[0],)), None)
+    seen = []
+
+    def recording_interp(x_end, xl, t, rng_key, **kw):
+        seen.extend(np.unique(np.asarray(t)).tolist())
+        return inner_interp(x_end, xl, t, rng_key, **kw)
+
+    # draw many batches so every diffusion step is hit
+    for i in range(20):
+        p_losses(recording_interp, forecast_fn, cfg, sched, x0, x_last,
+                 jax.random.PRNGKey(i))
+    for frac in (1 / 3, 2 / 3):
+        assert any(np.isclose(s, frac, atol=1e-6) for s in seen), (frac, sorted(set(seen)))
+
+
+def test_p_losses_lambda2_uses_injected_criterion():
+    """Regression (ADVICE r1 medium): the lambda_reconstruction2 term must use
+    the configured criterion, not a hardcoded L1."""
+    horizon = 6
+    cfg, sched = make({"lambda_reconstruction2": 1.0, "lambda_reconstruction": 0.0},
+                      timesteps=horizon)
+    x0, interpolate_fn, forecast_fn = _nonlinear_world(horizon)
+    x_last = x0 + 1.7  # wrong target => nonzero losses
+    l1 = lambda p, t: jnp.mean(jnp.abs(p - t))  # noqa: E731
+    l2 = lambda p, t: jnp.mean((p - t) ** 2)  # noqa: E731
+    out_l1 = p_losses(interpolate_fn, forecast_fn, cfg, sched, x0, x_last,
+                      jax.random.PRNGKey(5), criterion=l1)
+    out_l2 = p_losses(interpolate_fn, forecast_fn, cfg, sched, x0, x_last,
+                      jax.random.PRNGKey(5), criterion=l2)
+    a, b = float(out_l1["loss_forward2"]), float(out_l2["loss_forward2"])
+    assert a > 0 and b > 0
+    assert not np.isclose(a, b), (a, b)  # criteria must actually differ
+    # loss1 and loss2 use the same criterion: in a world where the t2 forecast
+    # equals the t forecast they'd be equal; here just check both are finite
+    assert np.isfinite(float(out_l1["loss"])) and np.isfinite(float(out_l2["loss"]))

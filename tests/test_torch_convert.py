@@ -42,6 +42,26 @@ def test_roundtrip_identity():
                                       err_msg=str(path))
 
 
+def test_roundtrip_identity_with_mlp_dropout():
+    """Regression (ADVICE r1 low): a torch MLP with dropout puts fc2 at
+    Sequential index 3; flax->torch must emit fwd.3.* in that case so the
+    roundtrip stays an identity for dropout>0 checkpoints."""
+    cfg, model, params = _tiny_params()
+    sd = sfno_flax_to_torch(jax.device_get(params), mlp_dropout=True)
+    assert any(".mlp.fwd.3.weight" in k for k in sd)
+    assert not any(".mlp.fwd.2.weight" in k for k in sd)
+    back = sfno_torch_to_flax(sd, num_layers=cfg.num_layers)
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"params": jax.device_get(params)["params"]}
+    )
+    for path, leaf in flat_a:
+        node = back
+        for p in path:
+            node = node[p.key]
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(node),
+                                      err_msg=str(path))
+
+
 def test_converted_params_run_and_match_dense_conv_semantics():
     """The conv1x1<->Dense transpose convention must match torch exactly."""
     rng = np.random.default_rng(0)
