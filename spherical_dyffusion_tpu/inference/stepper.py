@@ -47,14 +47,30 @@ class DYffusionStepper:
         params,
         prescriber: Optional[PackedPrescriber] = None,
         use_ema_params: bool = False,
+        ema_params=None,
     ):
+        """``use_ema_params`` selects the forecaster's EMA tree (``ema_params``)
+        for the rollout, the reference MultiStepStepper semantics; the
+        interpolator side independently honors
+        ``diffusion_cfg.interpolator_use_ema`` via the experiment's
+        ``active_interpolator_params``."""
         self.exp = experiment
+        if use_ema_params:
+            if ema_params is None:
+                raise ValueError(
+                    "use_ema_params=True requires ema_params (the checkpoint "
+                    "has no EMA weights)"
+                )
+            params = ema_params
         # both networks' params travel as ONE argument pytree into the jitted
         # rollout — closing over either would embed hundreds of MB of weights
         # as program literals (breaks remote compilation)
         self.params = {
             "forecaster": params,
-            "interpolator": getattr(experiment, "interpolator_params", None),
+            "interpolator": getattr(
+                experiment, "active_interpolator_params",
+                getattr(experiment, "interpolator_params", None),
+            ),
         }
         self.prescriber = prescriber or NullPrescriber()
         self.horizon = experiment.cfg.horizon

@@ -93,6 +93,7 @@ def get_experiment(
     dm,
     interpolator: Optional[InterpolationExperiment] = None,
     interpolator_params=None,
+    interpolator_ema_params=None,
 ):
     """Build the experiment named by cfg['experiment'] over datamodule dm."""
     kind = cfg.get("experiment", "interpolation")
@@ -130,8 +131,8 @@ def get_experiment(
                     "dyffusion needs an interpolator (pass one or set "
                     "diffusion.interpolator_checkpoint_path)"
                 )
-            interpolator, interpolator_params, _, _ = load_experiment_checkpoint(
-                ip_path, dm=dm
+            interpolator, interpolator_params, interpolator_ema_params, _ = (
+                load_experiment_checkpoint(ip_path, dm=dm)
             )
         cond_ch = C if dcfg.forward_conditioning == "data" else 0
         model = get_model(
@@ -142,6 +143,7 @@ def get_experiment(
             model, interpolator, interpolator_params, dcfg, exp_cfg,
             dm.in_packer, dm.out_packer, dm.normalizer,
             forcing_names=dm.cfg.forcing_names, forcing_normalizer=dm.forcing_normalizer,
+            interpolator_ema_params=interpolator_ema_params,
         )
 
     if kind == "simultaneous":

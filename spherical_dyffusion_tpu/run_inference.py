@@ -40,7 +40,7 @@ def main_from_config(cfg: dict) -> dict:
     exp, params, ema_params, full_cfg = load_experiment_checkpoint(
         ckpt_path, overrides=cfg.get("overrides")
     )
-    use_params = ema_params if (cfg.get("use_ema", True) and ema_params is not None) else params
+    use_ema = bool(cfg.get("use_ema", True)) and ema_params is not None
 
     prescriber = None
     p_cfg = cfg.get("prescriber") or full_cfg.get("datamodule", {}).get("prescriber")
@@ -54,7 +54,8 @@ def main_from_config(cfg: dict) -> dict:
         prescriber = pc.build(list(exp.out_packer.names))
         mask_name = pc.mask_name
 
-    stepper = DYffusionStepper(exp, use_params, prescriber=prescriber)
+    stepper = DYffusionStepper(exp, params, prescriber=prescriber,
+                               use_ema_params=use_ema, ema_params=ema_params)
 
     loader_cfg = cfg.get("validation_loader", {})
     data_path = loader_cfg.get("dataset", {}).get("data_path")

@@ -218,13 +218,24 @@ class DYffusionForecastingExperiment:
         normalizer: StandardNormalizer,
         forcing_names: Sequence[str] = (),
         forcing_normalizer: Optional[StandardNormalizer] = None,
+        interpolator_ema_params=None,
     ):
         if diffusion_cfg.timesteps != cfg.horizon:
             raise ValueError("diffusion timesteps must equal horizon "
                              f"({diffusion_cfg.timesteps} != {cfg.horizon})")
+        if diffusion_cfg.interpolator_use_ema and interpolator_ema_params is None:
+            # fail loudly: silently running non-EMA weights is exactly the bug
+            # class the reference avoids by swapping EMA inside q_sample
+            # (dyffusion.py:121-122,236-237)
+            raise ValueError(
+                "diffusion.interpolator_use_ema=True but no interpolator EMA "
+                "params were provided (the interpolator checkpoint has no "
+                "ema_params)"
+            )
         self.model = forecaster_model
         self.interpolator = interpolator
         self.interpolator_params = interpolator_params
+        self.interpolator_ema_params = interpolator_ema_params
         self.diffusion_cfg = diffusion_cfg
         self.sched: DiffusionSchedule = build_schedule(diffusion_cfg)
         self.cfg = cfg
@@ -248,7 +259,7 @@ class DYffusionForecastingExperiment:
         dyffusion.py:226-231)."""
         use_do = training or bool(self.diffusion_cfg.enable_interpolator_dropout)
         return self.interpolator.make_interpolate_fn(
-            ip_params if ip_params is not None else self.interpolator_params,
+            ip_params if ip_params is not None else self.active_interpolator_params,
             hack_for_imprecise_interpolation=self.diffusion_cfg.hack_for_imprecise_interpolation,
             use_inference_dropout=use_do,
         )
@@ -269,10 +280,20 @@ class DYffusionForecastingExperiment:
         return forecast_fn
 
     @property
+    def active_interpolator_params(self):
+        """The interpolator pytree q_sample actually runs with: the EMA tree
+        when ``diffusion_cfg.interpolator_use_ema`` is set (reference swaps
+        interpolator EMA weights inside q_sample, dyffusion.py:121-122,
+        236-237), else the raw trained weights."""
+        if self.diffusion_cfg.interpolator_use_ema:
+            return self.interpolator_ema_params
+        return self.interpolator_params
+
+    @property
     def aux_params(self):
         """Non-trainable parameter trees that must enter jitted steps as
         arguments (the frozen interpolator)."""
-        return self.interpolator_params
+        return self.active_interpolator_params
 
     def train_loss(
         self,

@@ -50,6 +50,57 @@ def test_checkpoint_reload_with_overrides(ckpt):
     assert ema is not None
 
 
+def test_interpolator_ema_threads_through_checkpoint_load(ckpt):
+    """interpolator_use_ema must select the interpolator's EMA tree loaded
+    from its checkpoint (reference dyffusion.py:121-122,236-237); the knob
+    may never be silently ignored."""
+    import jax
+    import numpy as np
+
+    cfg2 = dict(CFG)
+    cfg2["experiment"] = "dyffusion"
+    cfg2["diffusion"] = {"forward_conditioning": "none",
+                         "interpolator_checkpoint_path": ckpt,
+                         "interpolator_use_ema": True}
+    dm = get_datamodule(cfg2)
+    exp = get_experiment(cfg2, dm)
+    assert exp.interpolator_ema_params is not None
+    # active params ARE the EMA tree
+    assert exp.aux_params is exp.interpolator_ema_params
+    cfg3 = dict(cfg2)
+    cfg3["diffusion"] = dict(cfg2["diffusion"], interpolator_use_ema=False)
+    exp3 = get_experiment(cfg3, get_datamodule(cfg3))
+    assert exp3.aux_params is exp3.interpolator_params
+    # the two trees genuinely differ after training (EMA lag)
+    leaves_a = jax.tree_util.tree_leaves(exp.interpolator_ema_params["params"])
+    leaves_b = jax.tree_util.tree_leaves(exp.interpolator_params["params"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_a, leaves_b))
+
+
+def test_interpolator_use_ema_without_ema_raises(ckpt, tmp_path):
+    """A checkpoint without EMA weights + interpolator_use_ema=True must fail
+    loudly instead of silently running non-EMA weights."""
+    from spherical_dyffusion_tpu.training import Trainer, TrainerConfig
+
+    cfg_noema = dict(CFG)
+    path = str(tmp_path / "ipol_noema.ckpt")
+    dm = get_datamodule(cfg_noema)
+    exp = get_experiment(cfg_noema, dm)
+    tr = Trainer(exp, dm, TrainerConfig(epochs=0, steps_per_epoch=1,
+                                        warmup_steps=1, use_ema=False))
+    tr.fit(verbose=False, val_every=100)
+    save_experiment_checkpoint(path, tr.state, cfg_noema)
+
+    cfg2 = dict(CFG)
+    cfg2["experiment"] = "dyffusion"
+    cfg2["diffusion"] = {"forward_conditioning": "none",
+                         "interpolator_checkpoint_path": path,
+                         "interpolator_use_ema": True}
+    with pytest.raises(ValueError, match="interpolator_use_ema"):
+        get_experiment(cfg2, get_datamodule(cfg2))
+
+
 def test_run_inference_cli_from_checkpoint(ckpt, tmp_path):
     """A DYffusion checkpoint driven through the full inference CLI config."""
     # train a tiny forecaster on top of the interpolator ckpt

@@ -287,6 +287,23 @@ def test_ensemble_chunking_equivalent_shapes(tmp_path):
     assert any("crps" in k for k in logs)
 
 
+def test_stepper_use_ema_params():
+    """use_ema_params selects the forecaster EMA tree for the rollout and
+    fails loudly when no EMA tree exists (was a dead knob in round 1)."""
+    names = ["a", "b"]
+    norm = StandardNormalizer.from_dicts({n: 0.0 for n in names},
+                                         {n: 1.0 for n in names}, names)
+    exp = _LinearWorldExperiment(names, jnp.zeros((1, 4, 8, 2)), norm)
+    raw = {"params": {"w": jnp.zeros((2,))}}
+    ema = {"params": {"w": jnp.ones((2,))}}
+    st = DYffusionStepper(exp, raw, use_ema_params=True, ema_params=ema)
+    assert st.params["forecaster"] is ema
+    st2 = DYffusionStepper(exp, raw)
+    assert st2.params["forecaster"] is raw
+    with pytest.raises(ValueError, match="ema_params"):
+        DYffusionStepper(exp, raw, use_ema_params=True)
+
+
 def test_rollout_determinism_and_ensemble_divergence():
     """Same seed -> bitwise-identical rollout (determinism, reference §5.2);
     different ensemble rngs -> diverging members (stochastic interpolator)."""
