@@ -56,7 +56,7 @@ def run_model(config_path: Optional[str], overrides: List[str]) -> dict:
     fields = {f.name for f in dataclasses.fields(TrainerConfig)}
     trainer = Trainer(exp, dm, TrainerConfig(
         **{k: v for k, v in tr_cfg_dict.items() if k in fields}
-    ))
+    ), run_config=cfg)
 
     ckpt_dir = cfg.get("ckpt_dir", "checkpoints")
     ckpt_path = os.path.join(ckpt_dir, f"{cfg.get('name', 'run')}_last.ckpt")

@@ -19,7 +19,6 @@ mappings.py:199-340 in the reference). Supports:
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
@@ -108,10 +107,16 @@ class Trainer:
         datamodule,
         cfg: TrainerConfig,
         mesh=None,
+        run_config: Optional[Dict[str, Any]] = None,
     ):
         self.exp = experiment
         self.dm = datamodule
         self.cfg = cfg
+        # the full run config, embedded into every checkpoint so ANY saved
+        # file (including mid-training last.ckpt) is rebuildable by
+        # interface.load_experiment_checkpoint (reference embeds hparams in
+        # every ckpt, _base_experiment.py:1244-1259)
+        self.run_config = run_config
         if mesh is None:
             # default data-parallel mesh sized so the global batch divides it
             import math as _math
@@ -315,29 +320,33 @@ class Trainer:
 
     # ------------------------------------------------------------ validation
     def validate(self, state: TrainState, max_batches: int = 4) -> Dict[str, float]:
-        """Light validation: area-weighted RMSE (+ CRPS when the experiment is
-        stochastic) per horizon step, averaged (metric taxonomy of
+        """Light validation: area-weighted RMSE (+ CRPS/SSR when the experiment
+        is stochastic) per horizon step, averaged (metric taxonomy of
         _base_experiment.py:966-1030 is produced by the aggregators in
-        evaluation/)."""
+        evaluation/).
+
+        The whole eval — ensemble members (vmapped), all horizon steps, and
+        the metric reductions — is ONE jitted program per batch shape; only
+        the scalar metric table crosses back to the host (eager per-member
+        loops are seconds-per-op through the TPU tunnel, iron rule #4)."""
         exp = self.exp
         if self._area_weights is None:
             self._area_weights = self.dm.grid.horizontal.area_weights()
-        w = self._area_weights
+        w = jnp.asarray(self._area_weights)
         params = state.ema.params if (state.ema is not None) else state.params
         # single-device validation: pull params off the mesh
         params = jax.device_get(params)
+        aux = getattr(exp, "aux_params", None)
+        eval_step = self._get_eval_step()
+        rng = jax.random.PRNGKey(self.cfg.seed + 7)
         rmses = []
         n = 0
         for batch in self.dm.val_batches(horizon=exp.cfg.horizon):
             dyn = jnp.asarray(batch["dynamics"])
-            dyn_n = exp.normalizer.normalize(dyn)
             cond = batch.get("dynamical_condition")
             cond = jnp.asarray(cond) if cond is not None else None
-            if hasattr(exp, "get_inputs_from_dynamics"):
-                rmse = self._validate_interpolation(params, dyn, dyn_n, cond, w)
-            else:
-                rmse = self._validate_forecasting(params, dyn, dyn_n, cond, w)
-            rmses.append(rmse)
+            table = eval_step(params, aux, dyn, cond, jax.random.fold_in(rng, n), w)
+            rmses.append({k: float(v) for k, v in table.items()})
             n += 1
             if n >= max_batches:
                 break
@@ -367,56 +376,83 @@ class Trainer:
             out["ssr"] = jnp.mean(M.spread_skill_ratio(target, preds_e, wc, dim=(-3, -2, -1)))
         return out
 
-    def _validate_interpolation(self, params, dyn, dyn_n, cond, w):
-        """Ensemble eval over all interpolation times (reference
-        InterpolationExperiment._evaluation_step + get_ensemble_inputs)."""
-        exp = self.exp
-        E = self._val_ensemble if exp.cfg.enable_inference_dropout else 1
-        inputs = exp.get_inputs_from_dynamics(dyn_n)
-        B = inputs.shape[0]
-        out_norm = exp.normalizer.subset(list(exp.out_packer.names))
-        tables = []
-        for t_step in exp.horizon_range:
-            target_time = exp.cfg.window + t_step - 1
-            t = jnp.full((B,), float(t_step), jnp.float32)
-            c = exp.slice_condition(cond, target_time) if cond is not None else None
-            members = []
-            for e in range(E):
-                preds_n = exp.predict(
-                    params, inputs, time=t, condition=c,
-                    rng=jax.random.PRNGKey(1000 * t_step + e),
-                    use_inference_dropout=exp.cfg.enable_inference_dropout,
-                )
-                members.append(out_norm.denormalize(preds_n))
-            preds_e = jnp.stack(members)
-            target = dyn[:, target_time][..., exp._out_idx]
-            tables.append({k: float(v) for k, v in self._ens_metrics(preds_e, target, w).items()})
-        return {k: float(np.mean([t[k] for t in tables])) for k in tables[0]}
+    def _get_eval_step(self) -> Callable:
+        if getattr(self, "_eval_step", None) is None:
+            self._eval_step = jax.jit(self._build_eval_step())
+        return self._eval_step
 
-    def _validate_forecasting(self, params, dyn, dyn_n, cond, w):
-        """Ensemble DYffusion sampling eval (reference
-        forecasting_multi_horizon._evaluation_step)."""
+    def _build_eval_step(self) -> Callable:
+        """One traced program covering the full validation of a batch.
+
+        Interpolation: all horizon steps unrolled (static, small), ensemble
+        members via vmap over dropout rngs (reference get_ensemble_inputs
+        tiles the batch, _base_experiment.py:851-890 — vmap is the TPU-native
+        equivalent). Forecasting: the entire cold-sampling loop per member,
+        members vmapped. Frozen interpolator params enter as the ``aux``
+        ARGUMENT (never closure — remote-compile payload rule)."""
         exp = self.exp
+        out_names = list(exp.out_packer.names)
+        out_norm = exp.normalizer.subset(out_names)
+        out_idx = jnp.asarray(exp._out_idx)
+        ens_metrics = self._ens_metrics
+
+        if hasattr(exp, "get_inputs_from_dynamics"):  # interpolation
+            E = self._val_ensemble if exp.cfg.enable_inference_dropout else 1
+            use_do = exp.cfg.enable_inference_dropout
+
+            def eval_step(params, aux, dyn, cond, rng, w):
+                dyn_n = exp.normalizer.normalize(dyn)
+                inputs = exp.get_inputs_from_dynamics(dyn_n)
+                B = inputs.shape[0]
+                tables = []
+                for t_step in exp.horizon_range:
+                    target_time = exp.cfg.window + t_step - 1
+                    t = jnp.full((B,), float(t_step), jnp.float32)
+                    c = (exp.slice_condition(cond, target_time)
+                         if cond is not None else None)
+
+                    def member(key):
+                        return exp.predict(
+                            params, inputs, time=t, condition=c, rng=key,
+                            use_inference_dropout=use_do,
+                        )
+
+                    keys = jax.random.split(jax.random.fold_in(rng, t_step), E)
+                    preds_e = out_norm.denormalize(jax.vmap(member)(keys))
+                    target = dyn[:, target_time][..., out_idx]
+                    tables.append(ens_metrics(preds_e, target, w))
+                return {k: jnp.mean(jnp.stack([tb[k] for tb in tables]))
+                        for k in tables[0]}
+
+            return eval_step
+
+        # forecasting (DYffusion): vmap the full sampling loop over members
         from .experiments import _stack_window
 
         E = self._val_ensemble
-        init = _stack_window(dyn_n[:, : exp.cfg.window])
-        out_norm = exp.normalizer.subset(list(exp.out_packer.names))
-        member_preds = []
-        for e in range(E):
-            out = exp.predict(params, init, jax.random.PRNGKey(e),
-                              dynamical_condition=cond)
-            member_preds.append(out)
-        tables = []
-        for h in member_preds[0].preds:
-            if not isinstance(h, int) or exp.cfg.window + h - 1 >= dyn.shape[1]:
-                continue
-            preds_e = jnp.stack(
-                [out_norm.denormalize(m.preds[h]) for m in member_preds]
-            )
-            target = dyn[:, exp.cfg.window + h - 1][..., exp._out_idx]
-            tables.append({k: float(v) for k, v in self._ens_metrics(preds_e, target, w).items()})
-        return {k: float(np.mean([t[k] for t in tables])) for k in tables[0]}
+
+        def eval_step(params, aux, dyn, cond, rng, w):
+            dyn_n = exp.normalizer.normalize(dyn)
+            init = _stack_window(dyn_n[:, : exp.cfg.window])
+            T = dyn.shape[1]
+            valid_h = [h for h in range(1, exp.cfg.horizon + 1)
+                       if exp.cfg.window + h - 1 < T]
+
+            def member(key):
+                out = exp.predict(params, init, key, dynamical_condition=cond,
+                                  aux_params=aux)
+                return {h: out.preds[h] for h in valid_h if h in out.preds}
+
+            preds = jax.vmap(member)(jax.random.split(rng, E))  # h -> (E, B, ...)
+            tables = []
+            for h in preds:
+                preds_e = out_norm.denormalize(preds[h])
+                target = dyn[:, exp.cfg.window + h - 1][..., out_idx]
+                tables.append(ens_metrics(preds_e, target, w))
+            return {k: jnp.mean(jnp.stack([tb[k] for tb in tables]))
+                    for k in tables[0]}
+
+        return eval_step
 
     def rollout_validate(self, state: TrainState) -> Dict[str, float]:
         """Autoregressive rollout validation over the val split (the long-
@@ -449,25 +485,14 @@ class Trainer:
 
     # ------------------------------------------------------------ checkpoint
     def save_checkpoint(self, state: TrainState, path: str, extra_config: dict = None):
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        payload = {
-            "params": serialization.to_state_dict(_strip_constants(state.params)),
-            "ema_params": (
-                serialization.to_state_dict(_strip_constants(state.ema.params))
-                if state.ema is not None
-                else None
-            ),
-            "step": int(state.step),
-        }
-        blob = serialization.msgpack_serialize(payload)
-        with open(path, "wb") as f:
-            f.write(blob)
-        meta = {
-            "experiment": type(self.exp).__name__,
-            "config": extra_config or {},
-        }
-        with open(path + ".json", "w") as f:
-            json.dump(meta, f)
+        """Single checkpoint format: the config-embedding one (there used to be
+        a sidecar-JSON variant, which left mid-training last.ckpt files that
+        load_experiment_checkpoint could not rebuild)."""
+        from ..interface import save_experiment_checkpoint
+
+        save_experiment_checkpoint(
+            path, state, extra_config or self.run_config or {}
+        )
 
     @staticmethod
     def load_checkpoint(path: str) -> dict:

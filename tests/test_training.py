@@ -112,6 +112,42 @@ def test_checkpoint_roundtrip(dm, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mid_training_last_ckpt_is_rebuildable(tmp_path):
+    """Regression (VERDICT r1 weak #8): the per-epoch last.ckpt written during
+    fit() must embed the config so load_experiment_checkpoint can rebuild the
+    experiment after a crash (the old sidecar-JSON format could not)."""
+    from spherical_dyffusion_tpu.interface import (
+        get_datamodule,
+        get_experiment,
+        load_experiment_checkpoint,
+    )
+
+    cfg = {
+        "experiment": "interpolation",
+        "datamodule": {"kind": "debug", "channels": 2, "height": 8, "width": 16,
+                       "horizon": 3, "n_forcing": 1, "batch_size": 4,
+                       "n_timesteps": 24},
+        "model": {"kind": "sfno", "embed_dim": 8, "num_layers": 1},
+    }
+    dm2 = get_datamodule(cfg)
+    exp = get_experiment(cfg, dm2)
+    trainer = Trainer(exp, dm2, TrainerConfig(epochs=1, steps_per_epoch=3,
+                                              warmup_steps=1,
+                                              ckpt_dir=str(tmp_path)),
+                      run_config=cfg)
+    trainer.fit(verbose=False, val_every=100)
+    # simulate a crash: rebuild everything from the mid-training file alone
+    exp2, params2, ema2, cfg2 = load_experiment_checkpoint(
+        str(tmp_path / "last.ckpt")
+    )
+    assert cfg2["model"]["embed_dim"] == 8
+    assert type(exp2).__name__ == "InterpolationExperiment"
+    live = jax.device_get(trainer.state.params)["params"]
+    for a, b in zip(jax.tree_util.tree_leaves(params2["params"]),
+                    jax.tree_util.tree_leaves(live)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_rollout_validation_during_training(dm):
     """inference_val_every_n_epochs parity: DYffusion training runs a long
     autoregressive rollout eval and logs time-mean metrics."""
