@@ -1,0 +1,382 @@
+"""Skill proof: train the full two-stage DYffusion pipeline on learnable
+stochastic spherical dynamics and measure forecast quality.
+
+This is the synthetic-analog of the reference's FV3GFS evaluation protocol
+(reference src/evaluation/metrics.py:178-249 CRPS/SSR; ckpt selection on
+val/avg/crps, configs/experiment/fv3gfs_dyffusion.yaml:33-52). The system
+(data/datasets.py:StochasticModalTimeSeries) is solid-body rotation plus an
+OU modal process, so:
+
+* the deterministic part is exactly learnable (skill >> climatology is
+  achievable, unlike pure-noise debug data);
+* the stochastic part has closed-form conditional spread, giving the
+  10-member ensemble a well-defined calibration target (SSR -> 1).
+
+Produces results/skill/{metrics.json, report.md, curves_*.png}:
+  1. interpolator val-RMSE vs climatology + linear-interpolation baselines,
+  2. forecaster: cold vs naive sampling (RMSE/CRPS at every horizon),
+  3. CRPS/SSR calibration of the ensemble,
+  4. long-rollout stability (>= 500 autoregressive steps).
+
+Run:  python scripts/skill_proof.py                   (real TPU, full size)
+      python scripts/skill_proof.py --preset=mini --platform=cpu   (CI size)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--preset", choices=["full", "mini"], default="full")
+    ap.add_argument("--out", default="results/skill")
+    ap.add_argument("--ensemble", type=int, default=10)
+    ap.add_argument("--rollout-steps", type=int, default=504)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spherical_dyffusion_tpu.data import StochasticDataModule
+    from spherical_dyffusion_tpu.diffusion import DYffusionConfig
+    from spherical_dyffusion_tpu.evaluation import metrics as M
+    from spherical_dyffusion_tpu.inference import DYffusionStepper
+    from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+    from spherical_dyffusion_tpu.training import (
+        DYffusionForecastingExperiment,
+        ExperimentConfig,
+        InterpolationExperiment,
+        Trainer,
+        TrainerConfig,
+    )
+    from spherical_dyffusion_tpu.training.experiments import _stack_window
+
+    if args.preset == "full":
+        # NOTE: every training batch ships ~11MB through the axon tunnel
+        # (~1 s/step measured) — steps_per_epoch bounds the samples actually
+        # drawn per epoch, keeping the full run under ~1h wall
+        P = dict(height=64, width=128, channels=2, horizon=6,
+                 embed=64, layers=4, batch=16, steps_per_epoch=150,
+                 epochs_interp=7, epochs_fc=7, n_timesteps=4096,
+                 n_val_timesteps=512, lr_interp=2e-3, lr_fc=1e-3,
+                 dropout=0.15, eval_batches=4, eval_bs=8)
+    else:
+        P = dict(height=16, width=32, channels=2, horizon=4,
+                 embed=16, layers=2, batch=8, steps_per_epoch=40,
+                 epochs_interp=4, epochs_fc=3, n_timesteps=512,
+                 n_val_timesteps=128, lr_interp=5e-3, lr_fc=3e-3,
+                 dropout=0.15, eval_batches=2, eval_bs=4)
+
+    HORIZON = P["horizon"]
+    C = P["channels"]
+    dm = StochasticDataModule(
+        channels=C, height=P["height"], width=P["width"], horizon=HORIZON,
+        n_timesteps=P["n_timesteps"], n_val_timesteps=P["n_val_timesteps"],
+        batch_size=P["batch"], eval_batch_size=P["eval_bs"],
+        max_val_samples=P["eval_batches"] * P["eval_bs"],
+        max_train_samples=P["steps_per_epoch"] * P["batch"],
+    )
+    w = jnp.asarray(dm.grid.horizontal.area_weights())
+    out_norm = dm.normalizer
+    os.makedirs(args.out, exist_ok=True)
+    report = {"preset": args.preset, "params": P}
+    t_start = time.time()
+
+    # ---------------------------------------------------------------- stage 1
+    print("== stage 1: interpolator ==", flush=True)
+    icfg = ExperimentConfig(horizon=HORIZON, window=1, loss_function="l1",
+                            num_predictions=args.ensemble,
+                            enable_inference_dropout=True)
+    imodel = SFNO(SFNOConfig(
+        img_shape=(P["height"], P["width"]), in_chans=2 * C, out_chans=C,
+        embed_dim=P["embed"], num_layers=P["layers"], with_time_emb=True,
+        dropout_mlp=P["dropout"], min_time=1, max_time=HORIZON - 1,
+    ))
+    interp = InterpolationExperiment(imodel, icfg, dm.in_packer, dm.out_packer,
+                                     dm.normalizer)
+    t1 = Trainer(interp, dm, TrainerConfig(
+        lr=P["lr_interp"], epochs=P["epochs_interp"], use_ema=True,
+        warmup_steps=50, steps_per_epoch=P["steps_per_epoch"], seed=0,
+    ))
+    hist1 = t1.fit(verbose=True, val_every=1)
+    ip_params = jax.device_get(
+        t1.state.ema.params if t1.state.ema is not None else t1.state.params
+    )
+
+    # baselines for the interpolation task on the val set, computed on device:
+    #   climatology (predict the training time-mean field) and linear
+    #   interpolation between the two conditioning frames
+    train_mean = {}
+    sample = dm._train_src.read_window(0, min(256, P["n_timesteps"]), dm.cfg.in_names)
+    clim_field = jnp.asarray(np.stack(
+        [sample[n].mean(0) for n in dm.cfg.in_names], axis=-1))  # (H, W, C)
+
+    @jax.jit
+    def interp_baselines(dyn):
+        # dyn raw (B, T, H, W, C); window=1 inputs are frames 0 and T-1
+        rmse_clim, rmse_lin = [], []
+        for t_step in range(1, HORIZON):
+            target = dyn[:, 1 + t_step - 1]
+            lin = dyn[:, 0] + (dyn[:, -1] - dyn[:, 0]) * (t_step / HORIZON)
+            rmse_clim.append(jnp.mean(M.root_mean_squared_error(
+                target, jnp.broadcast_to(clim_field, target.shape),
+                w[..., None], dim=(-3, -2, -1))))
+            rmse_lin.append(jnp.mean(M.root_mean_squared_error(
+                target, lin, w[..., None], dim=(-3, -2, -1))))
+        return jnp.mean(jnp.stack(rmse_clim)), jnp.mean(jnp.stack(rmse_lin))
+
+    clims, lins = [], []
+    for batch in dm.val_batches(horizon=HORIZON):
+        c_, l_ = interp_baselines(jnp.asarray(batch["dynamics"]))
+        clims.append(float(c_)); lins.append(float(l_))
+        if len(clims) >= P["eval_batches"]:
+            break
+    interp_val = t1.validate(t1.state, max_batches=P["eval_batches"])
+    report["interpolator"] = {
+        "train_loss": hist1["train_loss"],
+        "val_rmse": interp_val.get("val/avg/rmse"),
+        "val_crps": interp_val.get("val/avg/crps"),
+        "val_ssr": interp_val.get("val/avg/ssr"),
+        "baseline_rmse_climatology": float(np.mean(clims)),
+        "baseline_rmse_linear_interp": float(np.mean(lins)),
+    }
+    print(json.dumps(report["interpolator"], indent=1), flush=True)
+
+    # ---------------------------------------------------------------- stage 2
+    print("== stage 2: DYffusion forecaster ==", flush=True)
+    dcfg = DYffusionConfig(timesteps=HORIZON, forward_conditioning="data",
+                           lambda_reconstruction=1.0)
+    fmodel = SFNO(SFNOConfig(
+        img_shape=(P["height"], P["width"]), in_chans=2 * C, out_chans=C,
+        embed_dim=P["embed"], num_layers=P["layers"], with_time_emb=True,
+        min_time=0, max_time=HORIZON - 1,
+    ))
+    fexp = DYffusionForecastingExperiment(
+        fmodel, interp, ip_params, dcfg,
+        ExperimentConfig(horizon=HORIZON, loss_function="l1",
+                         num_predictions=args.ensemble),
+        dm.in_packer, dm.out_packer, dm.normalizer,
+    )
+    t2 = Trainer(fexp, dm, TrainerConfig(
+        lr=P["lr_fc"], epochs=P["epochs_fc"], use_ema=True,
+        warmup_steps=50, steps_per_epoch=P["steps_per_epoch"], seed=1,
+    ))
+    hist2 = t2.fit(verbose=True, val_every=1)
+    fc_params = jax.device_get(
+        t2.state.ema.params if t2.state.ema is not None else t2.state.params
+    )
+    report["forecaster"] = {"train_loss": hist2["train_loss"],
+                            "val": hist2["val"][-1] if hist2["val"] else {}}
+
+    # ------------------------------------------------- per-horizon ensembles
+    # one jitted program: E members of the full sampling loop + per-horizon
+    # area-weighted RMSE (ens mean), CRPS, spread; plus persistence baseline
+    def make_eval(exp, E):
+        def eval_fn(params, aux, dyn, rng):
+            dyn_n = exp.normalizer.normalize(dyn)
+            init = _stack_window(dyn_n[:, :1])
+
+            def member(key):
+                out = exp.predict(params, init, key, aux_params=aux)
+                return {h: out.preds[h] for h in range(1, HORIZON + 1)
+                        if h in out.preds}
+
+            preds = jax.vmap(member)(jax.random.split(rng, E))
+            table = {}
+            for h in preds:
+                pe = out_norm.denormalize(preds[h])  # (E, B, H, W, C)
+                target = dyn[:, 1 + h - 1]
+                wc = w[..., None]
+                table[f"h{h}/rmse"] = jnp.mean(M.root_mean_squared_error(
+                    target, jnp.mean(pe, 0), wc, dim=(-3, -2, -1)))
+                table[f"h{h}/crps"] = jnp.mean(M.crps_ensemble(
+                    target, pe, wc, dim=(-3, -2, -1)))
+                table[f"h{h}/ssr"] = jnp.mean(M.spread_skill_ratio(
+                    target, pe, wc, dim=(-3, -2, -1)))
+                table[f"h{h}/rmse_persistence"] = jnp.mean(M.root_mean_squared_error(
+                    target, dyn[:, 0], wc, dim=(-3, -2, -1)))
+                table[f"h{h}/rmse_climatology"] = jnp.mean(M.root_mean_squared_error(
+                    target, jnp.broadcast_to(clim_field, target.shape), wc,
+                    dim=(-3, -2, -1)))
+            return table
+        return jax.jit(eval_fn)
+
+    def run_eval(exp, params, E, seed=0):
+        fn = make_eval(exp, E)
+        aux = exp.aux_params
+        tables = []
+        for i, batch in enumerate(dm.val_batches(horizon=HORIZON)):
+            t_ = fn(params, aux, jnp.asarray(batch["dynamics"]),
+                    jax.random.PRNGKey(seed + i))
+            tables.append({k: float(v) for k, v in t_.items()})
+            if len(tables) >= P["eval_batches"]:
+                break
+        return {k: float(np.mean([t[k] for t in tables])) for k in tables[0]}
+
+    print("== eval: cold vs naive sampling, calibration ==", flush=True)
+    cold_eval = run_eval(fexp, fc_params, args.ensemble)
+    naive_exp = DYffusionForecastingExperiment(
+        fmodel, interp, ip_params,
+        dataclasses.replace(dcfg, sampling_type="naive"),
+        fexp.cfg, dm.in_packer, dm.out_packer, dm.normalizer,
+    )
+    naive_eval = run_eval(naive_exp, fc_params, args.ensemble)
+    report["cold_sampling"] = cold_eval
+    report["naive_sampling"] = naive_eval
+    # analytic irreducible spread of the system at each horizon (field units:
+    # per-mode std * sqrt(K) since modes are unit-RMS, before normalization)
+    src = dm._val_src
+    K = src._modes.shape[1]
+    report["analytic_spread"] = {
+        f"h{h}": src.conditional_forecast_std(h) * float(np.sqrt(K))
+        for h in range(1, HORIZON + 1)
+    }
+    print("cold:", json.dumps({k: round(v, 4) for k, v in cold_eval.items()}, indent=1),
+          flush=True)
+    print("naive:", json.dumps({k: round(v, 4) for k, v in naive_eval.items()}, indent=1),
+          flush=True)
+
+    # ------------------------------------------------------ rollout stability
+    print(f"== rollout stability ({args.rollout_steps} AR steps) ==", flush=True)
+    stepper = DYffusionStepper(fexp, fc_params)
+    seg = min(args.rollout_steps, 12 * HORIZON)
+    # build normalized initial state (B=1, H, W, C)
+    frame0 = dm._val_src.read_window(0, 1, dm.cfg.in_names)
+    x0_raw = jnp.asarray(np.stack([frame0[n][0] for n in dm.cfg.in_names], -1))[None]
+    x = dm.normalizer.normalize(x0_raw)
+    done = 0
+    max_abs_per_window, rmse_clim_end = [], None
+    rng = jax.random.PRNGKey(123)
+    while done < args.rollout_steps:
+        n = min(seg, args.rollout_steps - done)
+        rng, sub = jax.random.split(rng)
+        x, preds = stepper.run_window(x, None, None, None, sub, n)
+        max_abs_per_window.append(float(jnp.max(jnp.abs(preds))))
+        done += n
+    final_raw = out_norm.denormalize(preds[:, -1])
+    rmse_clim_end = float(jnp.mean(M.root_mean_squared_error(
+        jnp.broadcast_to(clim_field, final_raw.shape), final_raw,
+        w[..., None], dim=(-3, -2, -1))))
+    report["rollout"] = {
+        "n_steps": args.rollout_steps,
+        "max_abs_normalized_per_window": max_abs_per_window,
+        "max_abs_normalized": max(max_abs_per_window),
+        "final_state_rmse_vs_climatology": rmse_clim_end,
+        "stable": bool(max(max_abs_per_window) < 10.0
+                       and np.isfinite(max(max_abs_per_window))),
+    }
+    print(json.dumps(report["rollout"], indent=1), flush=True)
+    report["wall_time_s"] = time.time() - t_start
+    report["device"] = str(jax.devices()[0])
+
+    # ------------------------------------------------------------ artifacts
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    _write_report(args.out, report, HORIZON)
+    _plot_curves(args.out, report, HORIZON)
+    print(f"report written to {args.out}", flush=True)
+    return report
+
+
+def _write_report(out_dir, r, horizon):
+    i = r["interpolator"]
+    lines = [
+        "# Skill proof: two-stage DYffusion on stochastic spherical dynamics",
+        "",
+        f"Preset `{r['preset']}`, device `{r.get('device')}`, "
+        f"wall time {r.get('wall_time_s', 0):.0f}s.",
+        "",
+        "System: solid-body rotation (deterministic, learnable) + OU modal noise "
+        "(irreducible, closed-form conditional spread). See "
+        "`data/datasets.py:StochasticModalTimeSeries`.",
+        "",
+        "## 1. Interpolator skill",
+        "",
+        "| metric | value |", "|---|---|",
+        f"| val RMSE (ensemble mean) | {i['val_rmse']:.4f} |",
+        f"| val CRPS | {i.get('val_crps', float('nan')):.4f} |",
+        f"| climatology RMSE | {i['baseline_rmse_climatology']:.4f} |",
+        f"| linear-interpolation RMSE | {i['baseline_rmse_linear_interp']:.4f} |",
+        f"| skill vs climatology | {i['val_rmse'] / i['baseline_rmse_climatology']:.3f}x |",
+        "",
+        "## 2. Forecaster: cold vs naive sampling (10-member ensembles)",
+        "",
+        "| h | cold RMSE | naive RMSE | cold CRPS | naive CRPS | SSR (cold) | persistence | climatology |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    c, n = r["cold_sampling"], r["naive_sampling"]
+    for h in range(1, horizon + 1):
+        lines.append(
+            f"| {h} | {c[f'h{h}/rmse']:.4f} | {n[f'h{h}/rmse']:.4f} "
+            f"| {c[f'h{h}/crps']:.4f} | {n[f'h{h}/crps']:.4f} "
+            f"| {c[f'h{h}/ssr']:.3f} | {c[f'h{h}/rmse_persistence']:.4f} "
+            f"| {c[f'h{h}/rmse_climatology']:.4f} |"
+        )
+    ro = r["rollout"]
+    lines += [
+        "",
+        "## 3. Long-rollout stability",
+        "",
+        f"{ro['n_steps']} autoregressive steps: max |state| (normalized) = "
+        f"{ro['max_abs_normalized']:.2f}, final-state RMSE vs climatology = "
+        f"{ro['final_state_rmse_vs_climatology']:.3f} -> "
+        f"**{'STABLE' if ro['stable'] else 'UNSTABLE'}**",
+        "",
+        "![curves](curves_rmse.png)", "![calibration](curves_calibration.png)",
+    ]
+    with open(os.path.join(out_dir, "report.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _plot_curves(out_dir, r, horizon):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    hs = list(range(1, horizon + 1))
+    c, n = r["cold_sampling"], r["naive_sampling"]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(hs, [c[f"h{h}/rmse"] for h in hs], "o-", label="cold sampling")
+    ax.plot(hs, [n[f"h{h}/rmse"] for h in hs], "s-", label="naive sampling")
+    ax.plot(hs, [c[f"h{h}/rmse_persistence"] for h in hs], "--", label="persistence")
+    ax.plot(hs, [c[f"h{h}/rmse_climatology"] for h in hs], ":", label="climatology")
+    ax.set_xlabel("horizon step"); ax.set_ylabel("area-weighted RMSE")
+    ax.legend(); ax.set_title("Ensemble-mean forecast RMSE")
+    fig.tight_layout(); fig.savefig(os.path.join(out_dir, "curves_rmse.png"), dpi=120)
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(hs, [c[f"h{h}/ssr"] for h in hs], "o-", label="SSR (cold)")
+    ax.axhline(1.0, color="k", lw=0.8, ls="--", label="perfect calibration")
+    ax.set_xlabel("horizon step"); ax.set_ylabel("spread/skill ratio")
+    ax.legend(); ax.set_title("Ensemble calibration")
+    fig.tight_layout(); fig.savefig(os.path.join(out_dir, "curves_calibration.png"), dpi=120)
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(r["interpolator"]["train_loss"], label="interpolator")
+    ax.plot(r["forecaster"]["train_loss"], label="forecaster")
+    ax.set_xlabel("epoch"); ax.set_ylabel("train loss"); ax.legend()
+    fig.tight_layout(); fig.savefig(os.path.join(out_dir, "curves_train.png"), dpi=120)
+    plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,15 @@
 from .coords import GridMetadata, HorizontalCoordinates, SigmaCoordinates, VariableMetadata
-from .datamodule import DataModuleConfig, DebugDataModule, FV3GFSDataModule, batch_iterator
+from .datamodule import (
+    DataModuleConfig,
+    DebugDataModule,
+    FV3GFSDataModule,
+    StochasticDataModule,
+    batch_iterator,
+)
 from .datasets import (
     ConcatSource,
     NetCDFTimeSeries,
+    StochasticModalTimeSeries,
     SyntheticTimeSeries,
     WindowedDataset,
 )
@@ -21,6 +28,8 @@ __all__ = [
     "batch_iterator",
     "ConcatSource",
     "NetCDFTimeSeries",
+    "StochasticDataModule",
+    "StochasticModalTimeSeries",
     "SyntheticTimeSeries",
     "WindowedDataset",
     "NetCDFFile",

@@ -20,6 +20,7 @@ from .coords import GridMetadata
 from .datasets import (
     ConcatSource,
     NetCDFTimeSeries,
+    StochasticModalTimeSeries,
     SyntheticTimeSeries,
     TimeSeriesSource,
     WindowedDataset,
@@ -27,7 +28,8 @@ from .datasets import (
 from .normalization import StandardNormalizer, get_normalizer
 from .packer import Packer
 
-__all__ = ["DataModuleConfig", "FV3GFSDataModule", "DebugDataModule", "batch_iterator"]
+__all__ = ["DataModuleConfig", "FV3GFSDataModule", "DebugDataModule",
+           "StochasticDataModule", "batch_iterator"]
 
 
 def batch_iterator(
@@ -173,6 +175,57 @@ class FV3GFSDataModule(BaseDataModule):
         if not os.path.isdir(val_dir):
             val_dir = root
         return NetCDFTimeSeries(val_dir)
+
+
+class StochasticDataModule(BaseDataModule):
+    """Datamodule over :class:`StochasticModalTimeSeries`: train and val see
+    the same dynamical system (shared structure seed) with independent OU
+    noise realizations. Used by the skill-proof study (scripts/skill_proof.py)
+    and its regression tests."""
+
+    def __init__(
+        self,
+        channels: int = 2,
+        height: int = 64,
+        width: int = 128,
+        horizon: int = 6,
+        window: int = 1,
+        n_timesteps: int = 4096,
+        n_val_timesteps: int = 1024,
+        batch_size: int = 8,
+        seed: int = 0,
+        omega_px: int = 2,
+        n_modes: int = 8,
+        rho: float = 0.9,
+        sigma: float = 0.35,
+        **cfg_kwargs,
+    ):
+        in_names = [f"var_{i}" for i in range(channels)]
+        cfg = DataModuleConfig(
+            in_names=in_names,
+            out_names=in_names,
+            horizon=horizon,
+            window=window,
+            batch_size=batch_size,
+            prediction_horizon=cfg_kwargs.pop("prediction_horizon", horizon),
+            prediction_horizon_long=cfg_kwargs.pop("prediction_horizon_long", horizon),
+            **cfg_kwargs,
+        )
+        common = dict(spatial_shape=(height, width), seed=seed, omega_px=omega_px,
+                      n_modes=n_modes, rho=rho, sigma=sigma)
+        self._train_src = StochasticModalTimeSeries(
+            in_names, n_timesteps=n_timesteps, noise_seed=seed + 1, **common
+        )
+        self._val_src = StochasticModalTimeSeries(
+            in_names, n_timesteps=n_val_timesteps, noise_seed=seed + 2, **common
+        )
+        sample = self._train_src.read_window(0, min(64, n_timesteps), in_names)
+        means = {n: float(np.mean(v)) for n, v in sample.items()}
+        stds = {n: float(np.std(v) + 1e-6) for n, v in sample.items()}
+        super().__init__(cfg, StandardNormalizer.from_dicts(means, stds, in_names))
+
+    def _source(self, split: str) -> TimeSeriesSource:
+        return self._train_src if split == "train" else self._val_src
 
 
 class DebugDataModule(BaseDataModule):

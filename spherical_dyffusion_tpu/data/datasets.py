@@ -204,6 +204,103 @@ class SyntheticTimeSeries(TimeSeriesSource):
         return out
 
 
+class StochasticModalTimeSeries(TimeSeriesSource):
+    """Learnable stochastic spherical dynamics for skill studies.
+
+    Each variable evolves as a deterministic solid-body rotation of a smooth
+    base field plus an Ornstein-Uhlenbeck modal process:
+
+        x_v(t) = roll_lon(base_v, omega * t) + sum_k a_{v,k}(t) m_{v,k}
+        a(t+1) = rho a(t) + sigma sqrt(1 - rho^2) eps,   eps ~ N(0, 1)
+
+    The rotation is exactly learnable (an integer-pixel longitude shift per
+    step), while the OU modes carry irreducible forecast uncertainty whose
+    conditional laws are known in closed form — so forecast ensembles have a
+    well-defined calibration target (SSR -> 1 for a perfect probabilistic
+    model) and the stochastic interpolator's target is a Gaussian bridge.
+    This is the synthetic analog of the reference's FV3GFS skill evaluation
+    (reference metrics.py:178-249 CRPS/SSR; DYffusion validation protocol).
+    """
+
+    def __init__(
+        self,
+        names: Sequence[str],
+        n_timesteps: int = 4096,
+        spatial_shape: tuple = (64, 128),
+        seed: int = 0,
+        omega_px: int = 2,
+        n_modes: int = 8,
+        rho: float = 0.9,
+        sigma: float = 0.35,
+        noise_seed: Optional[int] = None,
+    ):
+        # ``seed`` fixes the *structure* (base fields, noise modes) shared by
+        # train/val splits; ``noise_seed`` picks the OU realization so splits
+        # see the same system but disjoint trajectories
+        self.names = list(names)
+        self.n_timesteps = int(n_timesteps)
+        self.spatial_shape = tuple(spatial_shape)
+        self.omega_px = int(omega_px)
+        self.ou_rho = float(rho)
+        self.ou_sigma = float(sigma)
+        H, W = self.spatial_shape
+        V, K = len(self.names), int(n_modes)
+        rng = np.random.default_rng(seed)
+        yy = np.linspace(0, np.pi, H, endpoint=False)[:, None]
+        xx = np.linspace(0, 2 * np.pi, W, endpoint=False)[None, :]
+        # smooth band-limited base field per variable (unit-ish amplitude)
+        base = np.zeros((V, H, W), np.float32)
+        for v in range(V):
+            for _ in range(6):
+                ky, kx = rng.integers(1, 5), rng.integers(1, 5)
+                ph = rng.uniform(0, 2 * np.pi, 2)
+                base[v] += rng.normal(0, 0.5) * (
+                    np.sin(ky * yy + ph[0]) * np.cos(kx * xx + ph[1])
+                ).astype(np.float32)
+        self._base = base
+        # noise modes (distinct from the base structure)
+        modes = np.zeros((V, K, H, W), np.float32)
+        for v in range(V):
+            for k in range(K):
+                ky, kx = rng.integers(1, 6), rng.integers(1, 6)
+                ph = rng.uniform(0, 2 * np.pi, 2)
+                modes[v, k] = (np.sin(ky * yy + ph[0]) * np.sin(kx * xx + ph[1])).astype(np.float32)
+                modes[v, k] /= np.sqrt(np.mean(modes[v, k] ** 2) + 1e-8)
+        self._modes = modes
+        # precompute the full OU coefficient trajectory (stationary start)
+        nrng = np.random.default_rng(noise_seed if noise_seed is not None else seed + 1000)
+        a = np.zeros((self.n_timesteps, V, K), np.float32)
+        a[0] = sigma * nrng.standard_normal((V, K))
+        innov = sigma * np.sqrt(1 - rho**2) * nrng.standard_normal(
+            (self.n_timesteps - 1, V, K)
+        )
+        for t in range(1, self.n_timesteps):
+            a[t] = rho * a[t - 1] + innov[t - 1]
+        self._a = a
+
+    @property
+    def horizontal(self) -> HorizontalCoordinates:
+        return HorizontalCoordinates.regular(*self.spatial_shape)
+
+    def read_window(self, start: int, length: int, names: Sequence[str]) -> Dict[str, np.ndarray]:
+        out = {}
+        t_idx = np.arange(start, start + length)
+        for n in names:
+            v = self.names.index(n)
+            frames = np.empty((length,) + self.spatial_shape, np.float32)
+            for i, t in enumerate(t_idx):
+                det = np.roll(self._base[v], (self.omega_px * int(t)) % self.spatial_shape[1], axis=1)
+                frames[i] = det + np.einsum("k,khw->hw", self._a[t, v], self._modes[v])
+            out[n] = frames
+        return out
+
+    # -- closed-form references for calibration checks ----------------------
+    def conditional_forecast_std(self, h: int) -> float:
+        """Stationary per-mode std of a(t+h) | a(t): the irreducible forecast
+        spread a calibrated h-step ensemble should match."""
+        return self.ou_sigma * float(np.sqrt(1.0 - self.ou_rho ** (2 * h)))
+
+
 class ConcatSource(TimeSeriesSource):
     """Concatenation of ensemble-member sources (reference ensemble_xarray,
     getters.py:41-88): sample indices never cross member boundaries."""

@@ -31,7 +31,9 @@ __all__ = ["InferenceConfig", "InferenceWindows", "run_inference"]
 
 @dataclasses.dataclass(frozen=True)
 class InferenceConfig:
-    """Mirrors the reference InferenceConfig (inference/inference.py:78-203)."""
+    """Mirrors the reference InferenceConfig (inference/inference.py:78-203)
+    plus the multi-initial-condition selection of
+    InferenceInitialConditionIndices (data_loading/inference.py:17-60)."""
 
     n_forward_steps: int = 100
     forward_steps_in_memory: int = 50
@@ -41,7 +43,20 @@ class InferenceConfig:
     ensemble_in_memory: Optional[int] = None
     n_repeats: int = 1  # loop the dataset for rollouts longer than the data
     start_index: int = 0
+    # multi-IC rollouts (reference InferenceInitialConditionIndices): rollouts
+    # start at start_index + ic_first + i * ic_interval, i < n_initial_conditions;
+    # all ICs x ensemble members run as one (shardable) device batch
+    n_initial_conditions: int = 1
+    ic_first: int = 0
+    ic_interval: int = 1
     seed: int = 0
+
+    @property
+    def start_indices(self) -> Tuple[int, ...]:
+        return tuple(
+            self.start_index + self.ic_first + i * self.ic_interval
+            for i in range(self.n_initial_conditions)
+        )
 
 
 class InferenceWindows:
@@ -59,7 +74,8 @@ class InferenceWindows:
         self.source = source
         self.names = list(names)
         self.cfg = cfg
-        n_avail = source.n_timesteps * cfg.n_repeats - cfg.start_index
+        self.start_indices = list(cfg.start_indices)
+        n_avail = source.n_timesteps * cfg.n_repeats - max(self.start_indices)
         if cfg.n_forward_steps + 1 > n_avail:
             raise ValueError(
                 f"rollout needs {cfg.n_forward_steps + 1} frames, source has "
@@ -87,12 +103,20 @@ class InferenceWindows:
         }
 
     def __iter__(self) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
+        """Yields (start_step, data). With a single IC, data values are
+        (T+1, H, W) as before; with n_initial_conditions > 1 they gain a
+        leading IC axis (n_ic, T+1, H, W), each IC read at its own offset."""
         cfg = self.cfg
         T = cfg.forward_steps_in_memory
         step = 0
+        multi = len(self.start_indices) > 1
         while step < cfg.n_forward_steps:
             length = min(T, cfg.n_forward_steps - step) + 1
-            data = self._read(cfg.start_index + step, length)
+            if not multi:
+                data = self._read(self.start_indices[0] + step, length)
+            else:
+                per_ic = [self._read(s + step, length) for s in self.start_indices]
+                data = {k: np.stack([d[k] for d in per_ic]) for k in per_ic[0]}
             yield step, data
             step += length - 1
 
@@ -136,6 +160,13 @@ def run_inference(
         needed += out_names
     needed = list(dict.fromkeys(needed))
     windows = InferenceWindows(source, needed, cfg)
+    n_ic = len(windows.start_indices)
+    E = cfg.n_ensemble
+    if writer is not None and n_ic > 1:
+        raise ValueError(
+            "data writers support a single initial condition; score multi-IC "
+            "rollouts through the aggregator"
+        )
 
     normalizer = exp.normalizer  # over in_names
     out_norm = normalizer.subset(out_names)
@@ -148,20 +179,27 @@ def run_inference(
     x_norm = None
     H = stepper.horizon
 
+    def _ic_view(arr: np.ndarray) -> np.ndarray:
+        """Canonical (n_ic, T, H, W) view of a window variable."""
+        return arr if n_ic > 1 else arr[None]
+
     it = iter(windows)
     n_done = 0
     pending = []  # deferred (device preds, window data) awaiting host work
 
     def _drain(item):
         preds_raw, w_data, w_start, w_steps = item
-        preds_raw_host = np.asarray(preds_raw)
-        targets_raw = np.stack(
-            [w_data[n][1 : w_steps + 1] for n in out_names], axis=-1
-        )
-        if aggregator is not None:
-            aggregator.record_batch(preds_raw_host, targets_raw, start_step=w_start)
-        if writer is not None:
-            writer.append(preds_raw_host, targets_raw)
+        preds_raw_host = np.asarray(preds_raw)  # (n_ic * E, T, H, W, C)
+        for ic in range(n_ic):
+            targets_raw = np.stack(
+                [_ic_view(w_data[n])[ic, 1 : w_steps + 1] for n in out_names],
+                axis=-1,
+            )
+            preds_ic = preds_raw_host[ic * E : (ic + 1) * E]
+            if aggregator is not None:
+                aggregator.record_batch(preds_ic, targets_raw, start_step=w_start)
+            if writer is not None:
+                writer.append(preds_ic, targets_raw)
 
     while True:
         t0 = time.time()
@@ -175,39 +213,56 @@ def run_inference(
         n_steps = min(cfg.forward_steps_in_memory, cfg.n_forward_steps - start_step)
 
         if x_norm is None:
-            init_data = windows._read(cfg.start_index, 1, in_names)
-            init_raw = np.stack([init_data[n][0] for n in in_names], axis=-1)[None]
+            # one initial state per IC, each tiled over the ensemble: batch
+            # rows are IC-major [(ic0, e0..eE), (ic1, e0..eE), ...]
+            inits = []
+            for s in windows.start_indices:
+                init_data = windows._read(s, 1, in_names)
+                inits.append(np.stack([init_data[n][0] for n in in_names], axis=-1))
+            init_raw = np.stack(inits)  # (n_ic, H, W, C)
             x_norm = jnp.asarray(
                 normalizer.normalize(jnp.asarray(init_raw, jnp.float32))
             )
-            x_norm = jnp.tile(x_norm, (cfg.n_ensemble, 1, 1, 1))
+            x_norm = jnp.repeat(x_norm, E, axis=0)  # (n_ic * E, H, W, C)
+            x_norm = stepper.shard_rows(x_norm)
 
-        forcing1 = None
+        forcing_rows = None
         if forcing_names:
-            f_raw = np.stack([data[n] for n in forcing_names], axis=-1)[None]
-            forcing1 = exp_forcing_normalizer(exp).normalize(jnp.asarray(f_raw, jnp.float32))
+            f_raw = np.stack(
+                [_ic_view(data[n]) for n in forcing_names], axis=-1
+            )  # (n_ic, T+1, H, W, Cf)
+            f_norm = exp_forcing_normalizer(exp).normalize(
+                jnp.asarray(f_raw, jnp.float32)
+            )
+            forcing_rows = jnp.repeat(f_norm, E, axis=0)
 
-        tgt1 = None
-        mask1 = None
+        tgt_rows = None
+        mask_rows = None
         if prescribed_name and mask_name:
             ch = out_names.index(prescribed_name)
-            t_raw = jnp.asarray(data[prescribed_name][None], jnp.float32)
+            t_raw = jnp.asarray(_ic_view(data[prescribed_name]), jnp.float32)
             mu, sd = out_norm.means[ch], out_norm.stds[ch]
-            tgt1 = (t_raw - mu) / sd
-            mask1 = jnp.asarray(data[mask_name][0][None], jnp.float32)
+            tgt_rows = jnp.repeat((t_raw - mu) / sd, E, axis=0)
+            mask_rows = jnp.repeat(
+                jnp.asarray(_ic_view(data[mask_name])[:, 0], jnp.float32), E, axis=0
+            )
 
-        # ensemble in HBM-bounded chunks (reference num_predictions_in_memory)
-        E = cfg.n_ensemble
-        chunk = cfg.ensemble_in_memory or E
+        # device batch = n_ic * E rows, run in HBM-bounded chunks (reference
+        # num_predictions_in_memory); one chunk covering all rows is one
+        # compiled program shardable over the mesh's data axis
+        B_tot = n_ic * E
+        chunk = cfg.ensemble_in_memory or B_tot
         new_states, pred_parts = [], []
-        for s0 in range(0, E, chunk):
-            e = min(chunk, E - s0)
+        for s0 in range(0, B_tot, chunk):
+            e = min(chunk, B_tot - s0)
             rng, sub = jax.random.split(rng)
-            fc = jnp.tile(forcing1, (e, 1, 1, 1, 1)) if forcing1 is not None else None
-            tc = jnp.tile(tgt1, (e, 1, 1, 1)) if tgt1 is not None else None
-            mc = jnp.tile(mask1, (e, 1, 1)) if mask1 is not None else None
+            sl = slice(s0, s0 + e)
             xc, pc = stepper.run_window(
-                x_norm[s0 : s0 + e], fc, tc, mc, sub, n_steps
+                x_norm[sl],
+                forcing_rows[sl] if forcing_rows is not None else None,
+                tgt_rows[sl] if tgt_rows is not None else None,
+                mask_rows[sl] if mask_rows is not None else None,
+                sub, n_steps,
             )
             new_states.append(xc)
             pred_parts.append(pc)
@@ -251,7 +306,7 @@ def run_inference(
     summary = {
         "n_forward_steps": n_done,
         "duration_s": duration,
-        "total_steps_per_second": n_done * cfg.n_ensemble / duration,
+        "total_steps_per_second": n_done * n_ic * E / duration,
         **{f"time/{k}": v for k, v in timers.items()},
     }
     return summary

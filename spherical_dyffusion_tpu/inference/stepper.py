@@ -48,13 +48,20 @@ class DYffusionStepper:
         prescriber: Optional[PackedPrescriber] = None,
         use_ema_params: bool = False,
         ema_params=None,
+        mesh=None,
     ):
         """``use_ema_params`` selects the forecaster's EMA tree (``ema_params``)
         for the rollout, the reference MultiStepStepper semantics; the
         interpolator side independently honors
         ``diffusion_cfg.interpolator_use_ema`` via the experiment's
-        ``active_interpolator_params``."""
+        ``active_interpolator_params``.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` for pod-scale rollouts — the
+        IC x ensemble batch rows shard over the mesh's ``data`` axis (the
+        reference rank-shards samples across GPUs, data_loading/inference.py:
+        103-112; here XLA partitions one program instead), params replicate."""
         self.exp = experiment
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if use_ema_params:
             if ema_params is None:
                 raise ValueError(
@@ -72,6 +79,13 @@ class DYffusionStepper:
                 getattr(experiment, "interpolator_params", None),
             ),
         }
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), self.params
+            )
         self.prescriber = prescriber or NullPrescriber()
         self.horizon = experiment.cfg.horizon
         in_names = list(experiment.in_packer.names)
@@ -185,6 +199,19 @@ class DYffusionStepper:
             self._rollout_cache[n_steps] = self._build_rollout(n_steps)
         return self._rollout_cache[n_steps]
 
+    def shard_rows(self, x: Optional[jax.Array], axis: int = 0):
+        """Shard a batch-rows array over the mesh's ``data`` axis (no-op
+        without a mesh). Rollout batch rows are fully independent, so this is
+        the embarrassingly-parallel axis — collectives only appear if a model
+        axis is also meshed."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * x.ndim
+        spec[axis] = "data"
+        return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec(*spec)))
+
     # ------------------------------------------------------------------- run
     def run_window(
         self,
@@ -223,5 +250,10 @@ class DYffusionStepper:
             seg_t = jnp.zeros((n_seg, B, H) + x0_norm.shape[1:3], x0_norm.dtype)
         if mask is None:
             mask = jnp.zeros(x0_norm.shape[:3], x0_norm.dtype)
+        if self.mesh is not None:
+            x0_norm = self.shard_rows(x0_norm)
+            seg_f = self.shard_rows(seg_f, axis=1)  # (n_seg, B, ...)
+            seg_t = self.shard_rows(seg_t, axis=1)
+            mask = self.shard_rows(mask)
         fn = self.rollout_fn(n_steps)
         return fn(self.params, x0_norm, seg_f, seg_t, mask, rng)

@@ -106,12 +106,19 @@ def distributed_isht(xs: jax.Array, isht: InverseRealSHT, mesh: Mesh,
 
 
 def distributed_dhconv(xs: jax.Array, w: jax.Array, mesh: Mesh,
-                       axis_w: str = "w") -> jax.Array:
+                       axis_w: str = "w", scatter_output: bool = True) -> jax.Array:
     """Tensor-parallel Driscoll-Healy contraction: spectral input channels
     sharded over 'w' (the layout distributed_sht produces), weight
-    (ci, co, l, 2) ci-sharded; partial per-l matmuls + psum over 'w'
+    (ci, co, l, 2) ci-sharded; partial per-l matmuls reduced over 'w'
     (the reference's DistributedMLP allreduce pattern, distributed/layers.py:
-    226-315, applied to the spectral weighting)."""
+    226-315, applied to the spectral weighting).
+
+    With ``scatter_output`` (default) the reduction is a ``psum_scatter``
+    over the OUTPUT channel dim, so the result comes back with channels
+    sharded over 'w' — exactly the layout :func:`distributed_isht` consumes.
+    That is a reduce_scatter (half the ICI traffic of an all-reduce) and a
+    zero-copy hand-off to the next pipeline stage; pass False to get the
+    fully-replicated output of a plain psum."""
 
     def fn(x_blk, w_blk):
         wr, wi = w_blk[..., 0], w_blk[..., 1]
@@ -121,10 +128,13 @@ def distributed_dhconv(xs: jax.Array, w: jax.Array, mesh: Mesh,
         yi = jnp.einsum("blmi,iol->blmo", x_blk.real, wi) + jnp.einsum(
             "blmi,iol->blmo", x_blk.imag, wr
         )
-        return lax.psum(yr + 1j * yi, axis_w)
+        y = yr + 1j * yi
+        if scatter_output:
+            return lax.psum_scatter(y, axis_w, scatter_dimension=3, tiled=True)
+        return lax.psum(y, axis_w)
 
     return shard_map(
         fn, mesh=mesh,
         in_specs=(P(None, None, None, axis_w), P(axis_w, None, None, None)),
-        out_specs=P(),
+        out_specs=P(None, None, None, axis_w) if scatter_output else P(),
     )(xs, w)

@@ -287,6 +287,69 @@ def test_ensemble_chunking_equivalent_shapes(tmp_path):
     assert any("crps" in k for k in logs)
 
 
+def test_multi_initial_condition_windows_and_rollout():
+    """Multi-IC rollouts (reference InferenceInitialConditionIndices,
+    data_loading/inference.py:17-60): each IC reads its own forcing/target
+    window; all ICs x members run as one batch; per-IC targets are scored."""
+    names = ["a", "b"]
+    H_, W_ = 8, 16
+    src = SyntheticTimeSeries(names, n_timesteps=40, spatial_shape=(H_, W_))
+    cfg = InferenceConfig(n_forward_steps=8, forward_steps_in_memory=8,
+                          n_ensemble=2, n_initial_conditions=3, ic_interval=4)
+    assert cfg.start_indices == (0, 4, 8)
+    win = InferenceWindows(src, names, cfg)
+    step, data = next(iter(win))
+    assert data["a"].shape == (3, 9, H_, W_)
+    # IC k's window starts at frame 4k
+    ref = src.read_window(4, 9, ["a"])["a"]
+    np.testing.assert_array_equal(data["a"][1], ref)
+
+    norm = StandardNormalizer.from_dicts({n: 0.0 for n in names},
+                                         {n: 1.0 for n in names}, names)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((1, H_, W_, 2)) * 0.01, jnp.float32)
+    exp = _LinearWorldExperiment(names, v, norm)
+    stepper = DYffusionStepper(exp, params=None)
+    agg = InferenceAggregator(names, jnp.ones((H_, W_)) / (H_ * W_))
+    summary = run_inference(stepper, src, cfg, aggregator=agg, verbose=False)
+    assert summary["n_forward_steps"] == 8
+    # throughput counts all IC x member trajectories
+    assert summary["total_steps_per_second"] > 0
+    logs = agg.get_logs()
+    assert np.isfinite(logs["inference/avg/rmse"])
+
+    # writers are single-IC only (documented restriction)
+    with pytest.raises(ValueError, match="single initial condition"):
+        run_inference(stepper, src, cfg, writer=object(), verbose=False)
+
+
+def test_stepper_mesh_sharded_rollout_matches_unsharded():
+    """Rollout batch rows shard over the mesh 'data' axis; numerics match the
+    unsharded run (pod-scale path, VERDICT r1 item 6)."""
+    from spherical_dyffusion_tpu.parallel import make_mesh
+
+    names = ["a", "b"]
+    H_, W_ = 8, 16
+    norm = StandardNormalizer.from_dicts({n: 0.0 for n in names},
+                                         {n: 1.0 for n in names}, names)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((1, H_, W_, 2)) * 0.01, jnp.float32)
+    exp = _LinearWorldExperiment(names, v, norm)
+    x0 = jnp.asarray(rng.standard_normal((4, H_, W_, 2)), jnp.float32)
+
+    plain = DYffusionStepper(exp, params=None)
+    xf_ref, preds_ref = plain.run_window(x0, None, None, None,
+                                         jax.random.PRNGKey(3), 6)
+    mesh = make_mesh(data=4, h=2)
+    sharded = DYffusionStepper(exp, params=None, mesh=mesh)
+    xf, preds = sharded.run_window(x0, None, None, None, jax.random.PRNGKey(3), 6)
+    assert "data" in str(preds.sharding) or preds.sharding.is_fully_replicated is False
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(preds_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xf_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_stepper_use_ema_params():
     """use_ema_params selects the forecaster EMA tree for the rollout and
     fails loudly when no EMA tree exists (was a dead knob in round 1)."""

@@ -98,11 +98,24 @@ def test_distributed_sht_matches_single_device():
     want_back = isht(want)
     np.testing.assert_allclose(np.asarray(back), np.asarray(want_back), atol=2e-5)
 
-    # tensor-parallel dhconv against the einsum path
+    # tensor-parallel dhconv against the einsum path; the default
+    # reduce_scatter hands channels back sharded over 'w' (the ISHT layout)
     from spherical_dyffusion_tpu.ops.contractions import contract_dhconv
 
     w = jnp.asarray(rng.standard_normal((C, C, sht.lmax, 2)) * 0.1, jnp.float32)
     want_conv = contract_dhconv(want, w)
     got_conv = distributed_dhconv(got, w, mesh)
+    assert got_conv.sharding.spec == P(None, None, None, "w")
     np.testing.assert_allclose(np.asarray(got_conv), np.asarray(want_conv),
                                atol=2e-5, rtol=1e-4)
+    got_rep = distributed_dhconv(got, w, mesh, scatter_output=False)
+    np.testing.assert_allclose(np.asarray(got_rep), np.asarray(want_conv),
+                               atol=2e-5, rtol=1e-4)
+
+    # full sharded spectral pipeline SHT -> dhconv -> ISHT with zero-copy
+    # hand-offs (every stage consumes the previous stage's output sharding)
+    pipe = distributed_isht(got_conv, isht, mesh)
+    want_pipe = isht(want_conv)
+    np.testing.assert_allclose(np.asarray(pipe), np.asarray(want_pipe),
+                               atol=2e-5, rtol=1e-4)
+    assert pipe.sharding.spec == P(None, "h", "w", None)
