@@ -26,9 +26,16 @@ __all__ = [
 ]
 
 
+def _gelu_exact(x: jax.Array) -> jax.Array:
+    # torch nn.GELU() defaults to the EXACT erf form; flax nn.gelu defaults to
+    # the tanh approximation, which differs at the ~1e-3 level — enough to
+    # break checkpoint parity with the reference. Same fused cost on TPU.
+    return nn.gelu(x, approximate=False)
+
+
 def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
     acts = {
-        "gelu": nn.gelu,
+        "gelu": _gelu_exact,
         "relu": nn.relu,
         "silu": nn.silu,
         "tanh": jnp.tanh,
@@ -144,7 +151,7 @@ class TimeEmbedMLP(nn.Module):
     def __call__(self, t: jax.Array) -> jax.Array:
         emb = SinusoidalTimeEmbedding(self.pos_emb_dim)(t)
         emb = nn.Dense(self.time_dim, kernel_init=nn.initializers.truncated_normal(0.02))(emb)
-        emb = nn.gelu(emb)
+        emb = _gelu_exact(emb)
         emb = nn.Dense(self.time_dim, kernel_init=nn.initializers.truncated_normal(0.02))(emb)
         return emb
 

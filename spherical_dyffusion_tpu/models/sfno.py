@@ -261,9 +261,9 @@ class SpectralAttentionS2(nn.Module):
 
     def _complex_act(self, zr: jax.Array, zi: jax.Array):
         if self.complex_activation == "real":
-            return nn.gelu(zr), zi
+            return nn.gelu(zr, approximate=False), zi
         if self.complex_activation == "complex":
-            return nn.gelu(zr), nn.gelu(zi)
+            return nn.gelu(zr, approximate=False), nn.gelu(zi, approximate=False)
         raise ValueError(f"Unknown complex activation {self.complex_activation!r}")
 
     @nn.compact
