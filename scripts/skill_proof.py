@@ -63,6 +63,7 @@ def main() -> dict:
         Trainer,
         TrainerConfig,
     )
+    from spherical_dyffusion_tpu.training.trainer import chunked_vmap
     from spherical_dyffusion_tpu.training.experiments import _stack_window
 
     if args.preset == "full":
@@ -73,13 +74,13 @@ def main() -> dict:
                  embed=64, layers=4, batch=16, steps_per_epoch=150,
                  epochs_interp=7, epochs_fc=7, n_timesteps=4096,
                  n_val_timesteps=512, lr_interp=2e-3, lr_fc=1e-3,
-                 dropout=0.15, eval_batches=4, eval_bs=8)
+                 dropout=0.15, eval_batches=4, eval_bs=8, ens_chunk=2)
     else:
         P = dict(height=16, width=32, channels=2, horizon=4,
                  embed=16, layers=2, batch=8, steps_per_epoch=40,
                  epochs_interp=4, epochs_fc=3, n_timesteps=512,
                  n_val_timesteps=128, lr_interp=5e-3, lr_fc=3e-3,
-                 dropout=0.15, eval_batches=2, eval_bs=4)
+                 dropout=0.15, eval_batches=2, eval_bs=4, ens_chunk=3)
 
     HORIZON = P["horizon"]
     C = P["channels"]
@@ -111,6 +112,7 @@ def main() -> dict:
     t1 = Trainer(interp, dm, TrainerConfig(
         lr=P["lr_interp"], epochs=P["epochs_interp"], use_ema=True,
         warmup_steps=50, steps_per_epoch=P["steps_per_epoch"], seed=0,
+        val_ensemble_chunk=P.get("ens_chunk"),
     ))
     hist1 = t1.fit(verbose=True, val_every=1)
     ip_params = jax.device_get(
@@ -174,6 +176,7 @@ def main() -> dict:
     t2 = Trainer(fexp, dm, TrainerConfig(
         lr=P["lr_fc"], epochs=P["epochs_fc"], use_ema=True,
         warmup_steps=50, steps_per_epoch=P["steps_per_epoch"], seed=1,
+        val_ensemble_chunk=P.get("ens_chunk"),
     ))
     hist2 = t2.fit(verbose=True, val_every=1)
     fc_params = jax.device_get(
@@ -195,7 +198,8 @@ def main() -> dict:
                 return {h: out.preds[h] for h in range(1, HORIZON + 1)
                         if h in out.preds}
 
-            preds = jax.vmap(member)(jax.random.split(rng, E))
+            preds = chunked_vmap(member, jax.random.split(rng, E),
+                                 P.get("ens_chunk"))
             table = {}
             for h in preds:
                 pe = out_norm.denormalize(preds[h])  # (E, B, H, W, C)

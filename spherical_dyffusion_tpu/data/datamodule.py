@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Iterator, List, Optional, Sequence
+import queue
+import threading
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -29,7 +31,41 @@ from .normalization import StandardNormalizer, get_normalizer
 from .packer import Packer
 
 __all__ = ["DataModuleConfig", "FV3GFSDataModule", "DebugDataModule",
-           "StochasticDataModule", "batch_iterator"]
+           "StochasticDataModule", "batch_iterator", "prefetched"]
+
+
+def prefetched(iterable: Iterable, depth: int = 2) -> Iterator:
+    """Background-thread prefetch with a bounded queue (double buffering at
+    ``depth=2``): the producer thread runs the underlying iterator — h5py
+    reads, windowing, stacking — while the consumer's device step computes.
+    All source reads happen on the single producer thread (h5py handles must
+    not be shared across concurrently-reading threads). Exceptions re-raise
+    at the consumer. ``depth<=0`` disables prefetching."""
+    if depth <= 0:
+        yield from iterable
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    errbox: list = []
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised at the consumer
+            errbox.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True, name="data-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errbox:
+                raise errbox[0]
+            return
+        yield item
 
 
 def batch_iterator(
@@ -73,6 +109,9 @@ class DataModuleConfig:
     max_val_samples: Optional[int] = 80
     training_sub_paths: Optional[Sequence[str]] = None
     debug_mode: bool = False
+    # background-thread batch prefetch depth (0 disables); overlaps h5py
+    # reads + packing with device compute
+    prefetch_depth: int = 2
 
 
 class BaseDataModule:
@@ -112,15 +151,21 @@ class BaseDataModule:
         )
 
     def train_batches(self, seed: int = 0, horizon: Optional[int] = None):
-        return batch_iterator(
-            self.dataset("train", horizon), self.cfg.batch_size, shuffle=True, seed=seed,
-            max_samples=self.cfg.max_train_samples,
+        return prefetched(
+            batch_iterator(
+                self.dataset("train", horizon), self.cfg.batch_size, shuffle=True,
+                seed=seed, max_samples=self.cfg.max_train_samples,
+            ),
+            depth=self.cfg.prefetch_depth,
         )
 
     def val_batches(self, horizon: Optional[int] = None):
-        return batch_iterator(
-            self.dataset("val", horizon), self.cfg.eval_batch_size, shuffle=False,
-            drop_last=False, max_samples=self.cfg.max_val_samples,
+        return prefetched(
+            batch_iterator(
+                self.dataset("val", horizon), self.cfg.eval_batch_size, shuffle=False,
+                drop_last=False, max_samples=self.cfg.max_val_samples,
+            ),
+            depth=self.cfg.prefetch_depth,
         )
 
     @property

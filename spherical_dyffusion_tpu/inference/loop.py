@@ -176,14 +176,33 @@ def run_inference(
     timers = {"data_loading": 0.0, "run_on_batch": 0.0, "writer_and_aggregator": 0.0}
     t_start = time.time()
     rng = jax.random.PRNGKey(cfg.seed)
-    x_norm = None
     H = stepper.horizon
 
     def _ic_view(arr: np.ndarray) -> np.ndarray:
         """Canonical (n_ic, T, H, W) view of a window variable."""
         return arr if n_ic > 1 else arr[None]
 
-    it = iter(windows)
+    # initial conditions read BEFORE the prefetch thread starts (all source
+    # reads must stay on one thread; h5py handles are not thread-safe):
+    # one initial state per IC, each tiled over the ensemble — batch rows are
+    # IC-major [(ic0, e0..eE), (ic1, e0..eE), ...]
+    t0 = time.time()
+    inits = []
+    for s in windows.start_indices:
+        init_data = windows._read(s, 1, in_names)
+        inits.append(np.stack([init_data[n][0] for n in in_names], axis=-1))
+    init_raw = np.stack(inits)  # (n_ic, H, W, C)
+    x_norm = jnp.asarray(normalizer.normalize(jnp.asarray(init_raw, jnp.float32)))
+    x_norm = jnp.repeat(x_norm, E, axis=0)  # (n_ic * E, H, W, C)
+    x_norm = stepper.shard_rows(x_norm)
+    timers["data_loading"] += time.time() - t0
+
+    # background-thread window prefetch: window k+1's h5py reads overlap
+    # window k's device compute (paired with the deferred-drain queue below,
+    # the host pipeline is fully async around the device)
+    from ..data.datamodule import prefetched
+
+    it = prefetched(iter(windows), depth=2)
     n_done = 0
     pending = []  # deferred (device preds, window data) awaiting host work
 
@@ -211,20 +230,6 @@ def run_inference(
 
         t0 = time.time()
         n_steps = min(cfg.forward_steps_in_memory, cfg.n_forward_steps - start_step)
-
-        if x_norm is None:
-            # one initial state per IC, each tiled over the ensemble: batch
-            # rows are IC-major [(ic0, e0..eE), (ic1, e0..eE), ...]
-            inits = []
-            for s in windows.start_indices:
-                init_data = windows._read(s, 1, in_names)
-                inits.append(np.stack([init_data[n][0] for n in in_names], axis=-1))
-            init_raw = np.stack(inits)  # (n_ic, H, W, C)
-            x_norm = jnp.asarray(
-                normalizer.normalize(jnp.asarray(init_raw, jnp.float32))
-            )
-            x_norm = jnp.repeat(x_norm, E, axis=0)  # (n_ic * E, H, W, C)
-            x_norm = stepper.shard_rows(x_norm)
 
         forcing_rows = None
         if forcing_names:

@@ -92,6 +92,9 @@ class SFNOConfig:
     sht_matmul_dtype: str = "float32"
     # even/odd latitude symmetry folding in the Legendre stage (2x fewer FLOPs)
     sht_fold_symmetry: bool = False
+    # route dense dhconv contractions through the fused Pallas kernel
+    # (ops/pallas_contractions.py); interpret mode off-TPU
+    use_pallas: bool = False
     # debug mode shrinks the model like the reference (sfnonet.py:468-471)
     debug_mode: bool = False
 
@@ -166,6 +169,7 @@ class SpectralConvS2(nn.Module):
     matmul_dtype: str = ""  # "" -> float32 contraction
     factorization: str = ""  # "" (dense) | "cp" | "tucker" | "tt"
     rank: float = 1.0  # factorization rank as a fraction of min(ci, co)
+    use_pallas: bool = False  # fused Pallas dhconv kernel (dense, non-separable)
 
     @nn.compact
     def __call__(self, x: jax.Array, mats=None) -> tuple[jax.Array, jax.Array]:
@@ -233,7 +237,8 @@ class SpectralConvS2(nn.Module):
             xs = contract_dhconv_tt(xs, weight)
         else:
             xs = contract(xs, weight, self.operator_type, self.separable,
-                          matmul_dtype=self.matmul_dtype or None)
+                          matmul_dtype=self.matmul_dtype or None,
+                          use_pallas=self.use_pallas)
         out = self.inverse_transform(xs, inv_m, inv_d)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
@@ -364,6 +369,7 @@ class FNOBlock(nn.Module):
                 matmul_dtype="" if cfg.sht_matmul_dtype == "float32" else cfg.sht_matmul_dtype,
                 factorization=cfg.factorization or "",
                 rank=cfg.rank,
+                use_pallas=cfg.use_pallas,
                 name="filter",
             )
         elif cfg.filter_type == "non-linear":

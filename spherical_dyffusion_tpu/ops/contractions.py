@@ -172,7 +172,13 @@ def contract_dhconv_tt(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Ar
 
 
 def contract(x: jax.Array, w: jax.Array, operator_type: str, separable: bool = False,
-             matmul_dtype=None) -> jax.Array:
+             matmul_dtype=None, use_pallas: bool = False) -> jax.Array:
+    if use_pallas and operator_type == "dhconv" and not separable:
+        from .pallas_contractions import PALLAS_AVAILABLE, dhconv_pallas
+
+        if PALLAS_AVAILABLE:
+            # interpret mode off-TPU (the Mosaic backend is TPU-only)
+            return dhconv_pallas(x, w, interpret=jax.default_backend() != "tpu")
     if operator_type == "dhconv":
         return contract_dhconv(x, w, separable, matmul_dtype)
     if operator_type == "diagonal":

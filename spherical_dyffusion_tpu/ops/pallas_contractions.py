@@ -13,9 +13,12 @@ avoiding two of the four HBM reads of x.
 Layout per grid cell: x tile (M, CI), w tile (CI, CO) -> y tile (M, CO).
 M (=mmax, e.g. 181) rides the sublane dim; CI/CO (embed, e.g. 256) ride lanes.
 
-Usage is opt-in via ``SFNOConfig`` / ``contract(..., use_pallas=True)``;
-correctness is pinned against the einsum path in tests (interpret mode on
-CPU, compiled on TPU).
+Usage is opt-in via ``SFNOConfig(use_pallas=True)`` (which routes every dense
+non-separable dhconv contraction in the model through this kernel via
+``contract(..., use_pallas=True)``); correctness is pinned against the einsum
+path in tests (interpret mode on CPU, compiled on TPU). The kernel carries a
+``custom_vjp`` (the backward pass is the standard pair of transposed per-l
+matmuls, left to XLA) so the flag is valid in training as well as inference.
 """
 
 from __future__ import annotations
@@ -35,16 +38,10 @@ except ImportError:  # pragma: no cover
 __all__ = ["dhconv_pallas", "PALLAS_AVAILABLE"]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def dhconv_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Array:
-    """x: (B, L, M, CI) complex64; w: (CI, CO, L, 2) real -> (B, L, M, CO) complex64."""
-    B, L, M, CI = x.shape
-    CO = w.shape[1]
-    xr, xi = x.real, x.imag
-    # weights to (L, CI, CO) so the l axis is the grid dim
-    wr = jnp.transpose(w[..., 0], (2, 0, 1))
-    wi = jnp.transpose(w[..., 1], (2, 0, 1))
-
+def _pallas_forward(xr, xi, wr, wi, interpret: bool):
+    """xr/xi: (B, L, M, CI); wr/wi: (L, CI, CO) -> yr/yi (B, L, M, CO)."""
+    B, L, M, CI = xr.shape
+    CO = wr.shape[-1]
     grid = (B, L)
     x_spec = pl.BlockSpec((1, 1, M, CI), lambda b, l: (b, l, 0, 0))
     w_spec = pl.BlockSpec((1, CI, CO), lambda b, l: (l, 0, 0))
@@ -64,7 +61,7 @@ def dhconv_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Ar
             + jnp.dot(xi_t, wr_t, preferred_element_type=jnp.float32)
         )
 
-    yr, yi = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[x_spec, x_spec, w_spec, w_spec],
@@ -75,4 +72,49 @@ def dhconv_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Ar
         ],
         interpret=interpret,
     )(xr, xi, wr, wi)
-    return jax.lax.complex(yr, yi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _dhconv_rr(xr, xi, wr, wi, interpret: bool):
+    return _pallas_forward(xr, xi, wr, wi, interpret)
+
+
+def _dhconv_rr_fwd(xr, xi, wr, wi, interpret):
+    return _pallas_forward(xr, xi, wr, wi, interpret), (xr, xi, wr, wi)
+
+
+def _dhconv_rr_bwd(interpret, res, g):
+    xr, xi, wr, wi = res
+    gr, gi = g
+    # y = x W (complex, per-l): dx = g W^T with the complex-conjugate pattern,
+    # dW = x^T g summed over (batch, m). These are the same MXU-shaped batched
+    # matmuls as the forward; XLA handles them.
+    mm = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
+    dxr = mm("blmo,lio->blmi", gr, wr) + mm("blmo,lio->blmi", gi, wi)
+    dxi = mm("blmo,lio->blmi", gi, wr) - mm("blmo,lio->blmi", gr, wi)
+    dwr = mm("blmi,blmo->lio", xr, gr) + mm("blmi,blmo->lio", xi, gi)
+    dwi = mm("blmi,blmo->lio", xr, gi) - mm("blmi,blmo->lio", xi, gr)
+    return dxr, dxi, dwr, dwi
+
+
+_dhconv_rr.defvjp(_dhconv_rr_fwd, _dhconv_rr_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dhconv_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Array:
+    """x: (..., L, M, CI) complex64; w: (CI, CO, L, 2) real -> (..., L, M, CO).
+
+    Leading dims are flattened into the kernel's batch grid dim. Differentiable
+    (custom VJP) so it can sit on the training path.
+    """
+    lead = x.shape[:-3]
+    L, M, CI = x.shape[-3:]
+    CO = w.shape[1]
+    xr = x.real.reshape((-1, L, M, CI))
+    xi = x.imag.reshape((-1, L, M, CI))
+    # weights to (L, CI, CO) so the l axis is the grid dim
+    wr = jnp.transpose(w[..., 0], (2, 0, 1))
+    wi = jnp.transpose(w[..., 1], (2, 0, 1))
+    yr, yi = _dhconv_rr(xr, xi, wr, wi, interpret)
+    y = jax.lax.complex(yr, yi)
+    return y.reshape(lead + (L, M, CO))

@@ -60,6 +60,28 @@ class TrainerConfig:
     # inference_val_every_n_epochs, fv3gfs_dyffusion.yaml:26)
     rollout_val_every: Optional[int] = None
     rollout_val_steps: Optional[int] = None  # default: datamodule prediction_horizon
+    # bound validation memory: run ensemble members in lax.map'd chunks of
+    # this many vmapped members (None = all members in one vmap). E.g. 10
+    # members x batch 8 at 64x128 OOMs a v5e in one vmap; chunk=2 fits.
+    val_ensemble_chunk: Optional[int] = None
+
+
+def chunked_vmap(fn: Callable, keys: jnp.ndarray, chunk: Optional[int] = None):
+    """vmap ``fn`` over the leading axis of ``keys``, serializing in chunks via
+    lax.map to bound peak memory (ensemble members are independent; running
+    all of them in one vmap multiplies every activation by E)."""
+    E = keys.shape[0]
+    if not chunk or chunk >= E:
+        return jax.vmap(fn)(keys)
+    n_chunks = -(-E // chunk)
+    pad = n_chunks * chunk - E
+    if pad:
+        keys = jnp.concatenate([keys, keys[:pad]], axis=0)
+    ks = keys.reshape((n_chunks, chunk) + keys.shape[1:])
+    out = jax.lax.map(lambda k: jax.vmap(fn)(k), ks)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((n_chunks * chunk,) + a.shape[2:])[:E], out
+    )
 
 
 class TrainState(struct.PyTreeNode):
@@ -395,6 +417,7 @@ class Trainer:
         out_norm = exp.normalizer.subset(out_names)
         out_idx = jnp.asarray(exp._out_idx)
         ens_metrics = self._ens_metrics
+        chunk = self.cfg.val_ensemble_chunk
 
         if hasattr(exp, "get_inputs_from_dynamics"):  # interpolation
             E = self._val_ensemble if exp.cfg.enable_inference_dropout else 1
@@ -418,7 +441,7 @@ class Trainer:
                         )
 
                     keys = jax.random.split(jax.random.fold_in(rng, t_step), E)
-                    preds_e = out_norm.denormalize(jax.vmap(member)(keys))
+                    preds_e = out_norm.denormalize(chunked_vmap(member, keys, chunk))
                     target = dyn[:, target_time][..., out_idx]
                     tables.append(ens_metrics(preds_e, target, w))
                 return {k: jnp.mean(jnp.stack([tb[k] for tb in tables]))
@@ -443,7 +466,7 @@ class Trainer:
                                   aux_params=aux)
                 return {h: out.preds[h] for h in valid_h if h in out.preds}
 
-            preds = jax.vmap(member)(jax.random.split(rng, E))  # h -> (E, B, ...)
+            preds = chunked_vmap(member, jax.random.split(rng, E), chunk)  # h -> (E, B, ...)
             tables = []
             for h in preds:
                 preds_e = out_norm.denormalize(preds[h])

@@ -148,3 +148,42 @@ def test_native_pack_normalize_matches_numpy():
     # unnormalized path
     got2 = pack_normalize(arrays)
     np.testing.assert_array_equal(got2, np.stack(arrays, axis=-1))
+
+
+def test_prefetched_matches_direct_iteration_and_raises():
+    from spherical_dyffusion_tpu.data.datamodule import prefetched
+
+    items = [{"a": np.full((2, 2), i)} for i in range(7)]
+    got = list(prefetched(iter(items), depth=2))
+    assert len(got) == 7
+    for i, g in enumerate(got):
+        np.testing.assert_array_equal(g["a"], items[i]["a"])
+    # depth<=0 disables the thread
+    assert len(list(prefetched(iter(items), depth=0))) == 7
+
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetched(bad(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_datamodule_prefetch_batches_identical():
+    from spherical_dyffusion_tpu.data.datamodule import DebugDataModule
+    import dataclasses as _dc
+
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=3, n_timesteps=32,
+                         batch_size=2)
+    with_pf = [b["dynamics"] for b in dm.train_batches(seed=3)]
+    dm_no = DebugDataModule(channels=2, height=8, width=16, horizon=3, n_timesteps=32,
+                            batch_size=2)
+    object.__setattr__(dm_no, "cfg", _dc.replace(dm_no.cfg, prefetch_depth=0))
+    without = [b["dynamics"] for b in dm_no.train_batches(seed=3)]
+    assert len(with_pf) == len(without)
+    for a, b in zip(with_pf, without):
+        np.testing.assert_array_equal(a, b)

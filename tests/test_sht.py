@@ -7,6 +7,8 @@ The reference has no tests (SURVEY.md §4); we pin numerics via:
 4. quadrature sanity (weights integrate polynomials exactly).
 """
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -153,6 +155,49 @@ def test_pallas_dhconv_matches_einsum():
     got = dhconv_pallas(x, w, interpret=True)
     np.testing.assert_allclose(np.asarray(got.real), np.asarray(want.real), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.imag), np.asarray(want.imag), atol=1e-4)
+
+    # gradients (custom VJP) must match the einsum path's autodiff so the
+    # kernel is valid on the training path
+    def loss_pallas(w_):
+        y = dhconv_pallas(x, w_, interpret=True)
+        return jnp.sum(jnp.abs(y.real)) + jnp.sum(jnp.abs(y.imag))
+
+    def loss_einsum(w_):
+        y = contract_dhconv(x, w_)
+        return jnp.sum(jnp.abs(y.real)) + jnp.sum(jnp.abs(y.imag))
+
+    gp = jax.grad(loss_pallas)(w)
+    ge = jax.grad(loss_einsum)(w)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(ge), atol=1e-3)
+
+    # leading-dims flattening + vmap (the ensemble-eval path)
+    x5 = jnp.stack([x, 2.0 * x])
+    got5 = dhconv_pallas(x5, w, interpret=True)
+    want5 = contract_dhconv(x5, w)
+    np.testing.assert_allclose(np.asarray(got5.real), np.asarray(want5.real), atol=1e-4)
+    gotv = jax.vmap(lambda a: dhconv_pallas(a, w, interpret=True))(x5)
+    np.testing.assert_allclose(np.asarray(gotv.imag), np.asarray(want5.imag), atol=1e-4)
+
+
+def test_sfno_use_pallas_matches_dense():
+    """SFNOConfig(use_pallas=True) must produce the same forward as the einsum
+    path (the flag only swaps the contraction kernel)."""
+    import jax
+
+    from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+    from spherical_dyffusion_tpu.ops.pallas_contractions import PALLAS_AVAILABLE
+
+    if not PALLAS_AVAILABLE:
+        pytest.skip("pallas unavailable")
+    cfg = SFNOConfig(img_shape=(8, 16), in_chans=3, out_chans=3, embed_dim=16,
+                     num_layers=2, use_pallas=False)
+    model = SFNO(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 16, 3)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    want = model.apply(params, x, deterministic=True)
+    model_p = SFNO(dataclasses.replace(cfg, use_pallas=True))
+    got = model_p.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
 def test_matmul_dft_matches_fft_path():
