@@ -352,8 +352,15 @@ class WindowedDataset:
     stride: int = 1  # sampling stride between start indices
     # frame-selection strategy (reference data_loader_fv3gfs.py:11-84 multistep
     # loaders): "sequential" keeps all window+horizon frames; "direct" keeps
-    # only the window frames and the final frame (direct h-step forecasting)
+    # only the window frames and the final frame (direct h-step forecasting);
+    # "random" keeps the window frames plus ONE random step t in [1, horizon]
+    # (load_series_data_multistep_randomized); "interpolation" keeps the
+    # window frames, a random step t in [1, horizon-1], and the final frame
+    # (load_series_data_multistep_interpolation). The sparse strategies also
+    # return the drawn ``random_timestep`` and read only the frames they keep
+    # (no wasted host IO).
     strategy: str = "sequential"
+    seed: int = 0  # deterministic per-sample timestep draws for random/interpolation
 
     def __len__(self) -> int:
         total = self.window + self.horizon
@@ -381,15 +388,32 @@ class WindowedDataset:
         start = self._start_index(i)
         total = self.window + self.horizon
         names = list(self.in_names) + [n for n in self.forcing_names if n not in self.in_names]
-        raw = self.source.read_window(start, total, names)
-        if self.strategy == "direct":
-            keep = list(range(self.window)) + [total - 1]
-            raw = {k: v[keep] for k, v in raw.items()}
-        elif self.strategy != "sequential":
+        random_timestep = None
+        if self.strategy in ("sequential", "direct"):
+            raw = self.source.read_window(start, total, names)
+            if self.strategy == "direct":
+                keep = list(range(self.window)) + [total - 1]
+                raw = {k: v[keep] for k, v in raw.items()}
+        elif self.strategy in ("random", "interpolation"):
+            rng = np.random.default_rng((self.seed, i))
+            hi = self.horizon + 1 if self.strategy == "random" else self.horizon
+            random_timestep = int(rng.integers(1, hi))
+            offsets = list(range(self.window)) + [self.window - 1 + random_timestep]
+            if self.strategy == "interpolation":
+                offsets.append(total - 1)
+            raw = {k: [] for k in names}
+            for off in offsets:  # read only the kept frames
+                chunk = self.source.read_window(start + off, 1, names)
+                for k in names:
+                    raw[k].append(chunk[k][0])
+            raw = {k: np.stack(v) for k, v in raw.items()}
+        else:
             raise ValueError(f"Unknown strategy {self.strategy!r}")
         # native threaded pack (+fused normalize) with transparent numpy fallback
         dynamics = pack_normalize([raw[n] for n in self.in_names])
         out = {"dynamics": dynamics}
+        if random_timestep is not None:
+            out["random_timestep"] = np.int64(random_timestep)
         if self.forcing_names:
             fn = self.forcing_normalizer
             forcing = pack_normalize(

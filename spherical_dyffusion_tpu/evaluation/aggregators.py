@@ -33,27 +33,31 @@ __all__ = [
 class TimeMeanAggregator:
     """Accumulates time-mean prediction/target maps; final logs are
     area-weighted RMSE and bias of the time means per variable
-    (reference time_mean.py:17-214 and inference/time_mean*.py)."""
+    (reference time_mean.py:17-214 and inference/time_mean*.py).
+
+    When predictions carry an ensemble axis, per-member sums are kept so the
+    logs also include the per-member-averaged variants
+    ``rmse_member_avg``/``bias_member_avg`` (reference time_mean_salva.py:
+    TimeMeanAggregator.get_logs with is_ensemble=True) alongside the
+    ensemble-mean metrics."""
 
     def __init__(self, names: Sequence[str], area_weights: jax.Array):
         self.names = list(names)
         self.w = area_weights
-        self._pred_sum = None
+        self._pred_sum = None  # (E, H, W, C) when ensemble, else (H, W, C)
         self._tgt_sum = None
         self._n = 0
 
     def record(self, preds: np.ndarray, targets: np.ndarray):
         """preds: (E, T, H, W, C) or (T, H, W, C); targets: (T, H, W, C)."""
-        if preds.ndim == 5:
-            preds = preds.mean(axis=0)  # ensemble mean
-        p = np.asarray(preds, np.float64).sum(axis=0)
+        p = np.asarray(preds, np.float64).sum(axis=-4)  # sum over time
         t = np.asarray(targets, np.float64).sum(axis=0)
         if self._pred_sum is None:
             self._pred_sum, self._tgt_sum = p, t
         else:
             self._pred_sum += p
             self._tgt_sum += t
-        self._n += preds.shape[0]
+        self._n += preds.shape[-4]
 
     def get_logs(self, label: str = "time_mean") -> Dict[str, float]:
         if self._n == 0:
@@ -61,19 +65,33 @@ class TimeMeanAggregator:
         pred_mean = jnp.asarray(self._pred_sum / self._n, jnp.float32)
         tgt_mean = jnp.asarray(self._tgt_sum / self._n, jnp.float32)
         w = self.w[..., None]
-        rmse = M.root_mean_squared_error(tgt_mean, pred_mean, w, dim=(-3, -2))
-        bias = M.weighted_mean_bias(tgt_mean, pred_mean, w, dim=(-3, -2))
+        is_ensemble = pred_mean.ndim == 4
+        ens_mean = jnp.mean(pred_mean, axis=0) if is_ensemble else pred_mean
+        rmse = M.root_mean_squared_error(tgt_mean, ens_mean, w, dim=(-3, -2))
+        bias = M.weighted_mean_bias(tgt_mean, ens_mean, w, dim=(-3, -2))
         out = {}
         for i, n in enumerate(self.names):
             out[f"{label}/rmse/{n}"] = float(rmse[..., i].mean())
             out[f"{label}/bias/{n}"] = float(bias[..., i].mean())
+        if is_ensemble and pred_mean.shape[0] > 1:
+            # per-member metrics vs the same target time-mean, member-averaged
+            m_rmse = jnp.mean(M.root_mean_squared_error(
+                tgt_mean, pred_mean, w, dim=(-3, -2)), axis=0)
+            m_bias = jnp.mean(M.weighted_mean_bias(
+                tgt_mean, pred_mean, w, dim=(-3, -2)), axis=0)
+            for i, n in enumerate(self.names):
+                out[f"{label}/rmse_member_avg/{n}"] = float(m_rmse[..., i])
+                out[f"{label}/bias_member_avg/{n}"] = float(m_bias[..., i])
         return out
 
     @property
     def maps(self):
         if self._n == 0:
             return None
-        return self._pred_sum / self._n, self._tgt_sum / self._n
+        p = self._pred_sum / self._n
+        if p.ndim == 4:
+            p = p.mean(axis=0)
+        return p, self._tgt_sum / self._n
 
 
 def _window_tables(preds, targets, w):
@@ -223,3 +241,24 @@ class InferenceAggregator:
         logs.update(self.reduced.get_logs(label))
         logs.update(self.time_mean.get_logs(f"{label}/time_mean"))
         return logs
+
+    def get_inference_logs(self, label: str = "inference") -> List[Dict[str, float]]:
+        """Per-timestep log dicts, one per rollout step, with the aggregate
+        (time-mean) metrics attached to the final entry — the structure the
+        reference replays to wandb step by step
+        (reference inference/inference.py:300-313, aggregator
+        get_inference_logs)."""
+        prefix = f"{label}/" if label else ""
+        series = self.reduced.series()
+        steps = self.reduced._steps
+        out: List[Dict[str, float]] = []
+        for row, step in enumerate(steps):
+            entry: Dict[str, float] = {"timestep": step}
+            for metric, rows in series.items():
+                for i, n in enumerate(self.names):
+                    entry[f"{prefix}{metric}/{n}"] = float(rows[row, i])
+                entry[f"{prefix}avg/{metric}"] = float(rows[row].mean())
+            out.append(entry)
+        if out:
+            out[-1].update(self.time_mean.get_logs(f"{label}/time_mean"))
+        return out

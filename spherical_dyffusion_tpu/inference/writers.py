@@ -74,37 +74,79 @@ class PredictionWriter:
         self.f.close()
 
 
+class DynamicHistogram:
+    """Fixed-bin-count histogram whose bins double in width whenever a new
+    value falls outside the current range, pairwise-merging existing counts
+    (reference DynamicHistogram, histogram.py:9-101) — no value is ever
+    silently dropped. ``n_bins`` must be even (bin pairs merge on resize)."""
+
+    EPSILON = 1.0e-6
+
+    def __init__(self, n_bins: int = 300):
+        if n_bins % 2:
+            raise ValueError("n_bins must be even (bins merge pairwise on resize)")
+        self.n_bins = n_bins
+        self.bin_edges: np.ndarray = None
+        self.counts = np.zeros(n_bins, np.int64)
+
+    def add(self, value: np.ndarray):
+        v = np.asarray(value).ravel()
+        vmin, vmax = float(v.min()), float(v.max())
+        if vmin == vmax:
+            vmin -= self.EPSILON
+            vmax += self.EPSILON
+        if self.bin_edges is None:
+            self.bin_edges = np.linspace(vmin, vmax, self.n_bins + 1)
+        else:
+            while vmin < self.bin_edges[0]:
+                self._double(left=True)
+            while vmax > self.bin_edges[-1]:
+                self._double(left=False)
+        self.counts += np.histogram(v, bins=self.bin_edges)[0]
+
+    def _double(self, left: bool):
+        span = 2 * (self.bin_edges[-1] - self.bin_edges[0])
+        merged = self.counts[::2] + self.counts[1::2]
+        new_counts = np.zeros(self.n_bins, np.int64)
+        if left:
+            self.bin_edges = np.linspace(
+                self.bin_edges[-1] - span, self.bin_edges[-1], self.n_bins + 1
+            )
+            new_counts[self.n_bins // 2 :] = merged
+        else:
+            self.bin_edges = np.linspace(
+                self.bin_edges[0], self.bin_edges[0] + span, self.n_bins + 1
+            )
+            new_counts[: self.n_bins // 2] = merged
+        self.counts = new_counts
+
+
 class HistogramWriter:
-    """Running per-variable histograms of predictions (reference
-    HistogramDataWriter / DynamicHistogram, histogram.py:9)."""
+    """Running per-variable histograms of predictions with dynamic bin
+    rescaling (reference HistogramDataWriter / DynamicHistogram,
+    histogram.py:9): later windows with out-of-range values rescale the bins
+    instead of being dropped."""
 
     def __init__(self, names: Sequence[str], n_bins: int = 300):
         self.names = list(names)
         self.n_bins = n_bins
-        self._ranges: Dict[str, tuple] = {}
-        self._counts: Dict[str, np.ndarray] = {}
+        self._hists: Dict[str, DynamicHistogram] = {}
 
     def append(self, preds: np.ndarray, targets=None):
         preds = np.asarray(preds)
         for i, n in enumerate(self.names):
-            v = preds[..., i].ravel()
-            lo, hi = float(v.min()), float(v.max())
-            if n not in self._ranges:
-                span = (hi - lo) or 1.0
-                self._ranges[n] = (lo - 0.1 * span, hi + 0.1 * span)
-                self._counts[n] = np.zeros(self.n_bins, np.int64)
-            c, _ = np.histogram(v, bins=self.n_bins, range=self._ranges[n])
-            self._counts[n] += c
+            if n not in self._hists:
+                self._hists[n] = DynamicHistogram(self.n_bins)
+            self._hists[n].add(preds[..., i])
 
     def histogram(self, name: str):
-        lo, hi = self._ranges[name]
-        edges = np.linspace(lo, hi, self.n_bins + 1)
-        return self._counts[name], edges
+        h = self._hists[name]
+        return h.counts, h.bin_edges
 
     def save(self, path: str):
         with h5py.File(path, "w") as f:
             for n in self.names:
-                if n in self._counts:
+                if n in self._hists:
                     c, e = self.histogram(n)
                     f.create_dataset(f"{n}_counts", data=c)
                     f.create_dataset(f"{n}_edges", data=e)

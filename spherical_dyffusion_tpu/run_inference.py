@@ -107,6 +107,18 @@ def main_from_config(cfg: dict) -> dict:
     logs = agg.get_logs()
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump({**summary, **logs}, f, indent=1)
+    # per-timestep metric replay (reference inference.py:300-313 logs every
+    # rollout step to wandb with step=i; locally this lands in the JSONL
+    # logger and mirrors to wandb when configured)
+    if cfg.get("log_per_timestep", True):
+        from .utils.loggers import JsonlLogger
+
+        logger = JsonlLogger(out_dir)
+        logger.log_hyperparams(cfg)
+        logger.log({**summary}, step=0)
+        for entry in agg.get_inference_logs():
+            logger.log(entry, step=int(entry["timestep"]))
+        logger.finish()
     # media outputs (reference snapshot/zonal-mean/video artifacts)
     try:
         if agg.snapshots.snapshots:

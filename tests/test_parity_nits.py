@@ -1,0 +1,143 @@
+"""Tests for the small parity components added in round 2: winds geometry,
+dynamic histograms, per-member time-mean metrics, per-timestep inference
+logs, and the legacy random/interpolation multistep loader strategies."""
+
+import numpy as np
+import pytest
+
+
+def test_winds_uv_to_xyz_preserves_magnitude_and_known_cases():
+    from spherical_dyffusion_tpu.utils.winds import u_v_to_x_y_z_wind
+
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((5, 7)).astype(np.float32)
+    v = rng.standard_normal((5, 7)).astype(np.float32)
+    lat = rng.uniform(-89, 89, (5, 7)).astype(np.float32)
+    lon = rng.uniform(0, 360, (5, 7)).astype(np.float32)
+    wx, wy, wz = u_v_to_x_y_z_wind(u, v, lat, lon)
+    # (east, north) is an orthonormal local basis: |w| = sqrt(u^2 + v^2)
+    np.testing.assert_allclose(
+        np.asarray(wx**2 + wy**2 + wz**2), u**2 + v**2, rtol=1e-5
+    )
+    # at (lat=0, lon=0): east = +y, north = +z
+    wx, wy, wz = u_v_to_x_y_z_wind(2.0, 3.0, 0.0, 0.0)
+    np.testing.assert_allclose([float(wx), float(wy), float(wz)], [0.0, 2.0, 3.0],
+                               atol=1e-6)
+    # at (lat=0, lon=90E): east = -x, north = +z
+    wx, wy, wz = u_v_to_x_y_z_wind(2.0, 3.0, 0.0, 90.0)
+    np.testing.assert_allclose([float(wx), float(wy), float(wz)], [-2.0, 0.0, 3.0],
+                               atol=1e-5)
+
+
+def test_lon_lat_xyz_roundtrip_and_pole_guard():
+    from spherical_dyffusion_tpu.utils.winds import lon_lat_to_xyz, xyz_to_lon_lat
+
+    lon = np.asarray([0.0, 90.0, 123.4, 359.0, 45.0])
+    lat = np.asarray([0.0, 45.0, -67.8, 12.0, -45.0])
+    x, y, z = lon_lat_to_xyz(lon, lat)
+    lon2, lat2 = xyz_to_lon_lat(x, y, z)
+    np.testing.assert_allclose(np.asarray(lon2), lon, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lat2), lat, atol=1e-4)
+    lon_p, lat_p = xyz_to_lon_lat(np.asarray(0.0), np.asarray(0.0), np.asarray(1.0))
+    assert float(lon_p) == 0.0 and abs(float(lat_p) - 90.0) < 1e-4
+
+
+def test_dynamic_histogram_rescales_and_never_drops():
+    from spherical_dyffusion_tpu.inference.writers import DynamicHistogram
+
+    h = DynamicHistogram(n_bins=100)
+    h.add(np.linspace(0.0, 1.0, 500))
+    assert h.counts.sum() == 500
+    # out-of-range on both sides: bins double, counts merge, nothing dropped
+    h.add(np.asarray([-3.0, 5.0, 0.5]))
+    assert h.counts.sum() == 503
+    assert h.bin_edges[0] <= -3.0 and h.bin_edges[-1] >= 5.0
+    with pytest.raises(ValueError):
+        DynamicHistogram(n_bins=301)
+
+
+def test_histogram_writer_dynamic_range():
+    from spherical_dyffusion_tpu.inference.writers import HistogramWriter
+
+    w = HistogramWriter(["a"], n_bins=50)
+    w.append(np.zeros((1, 2, 4, 4, 1)) + 0.5)
+    w.append(np.zeros((1, 2, 4, 4, 1)) + 100.0)  # would be dropped pre-fix
+    counts, edges = w.histogram("a")
+    assert counts.sum() == 64
+    assert edges[-1] >= 100.0
+
+
+def test_time_mean_aggregator_member_avg_metrics():
+    import jax.numpy as jnp
+
+    from spherical_dyffusion_tpu.evaluation.aggregators import TimeMeanAggregator
+
+    rng = np.random.default_rng(1)
+    H, W, C, E, T = 4, 8, 2, 3, 5
+    w = jnp.ones((H, W))
+    agg = TimeMeanAggregator(["a", "b"], w)
+    target = rng.standard_normal((T, H, W, C))
+    preds = target[None] + rng.standard_normal((E, T, H, W, C))
+    agg.record(preds, target)
+    logs = agg.get_logs("tm")
+    assert "tm/rmse/a" in logs and "tm/rmse_member_avg/a" in logs
+    # per-member RMSE >= ensemble-mean RMSE (Jensen)
+    assert logs["tm/rmse_member_avg/a"] >= logs["tm/rmse/a"]
+    # single-member: no member_avg keys
+    agg1 = TimeMeanAggregator(["a", "b"], w)
+    agg1.record(preds[:1], target)
+    assert not any("member_avg" in k for k in agg1.get_logs())
+
+
+def test_inference_aggregator_per_timestep_logs():
+    import jax.numpy as jnp
+
+    from spherical_dyffusion_tpu.evaluation.aggregators import InferenceAggregator
+
+    rng = np.random.default_rng(2)
+    H, W, C, E = 4, 8, 2, 2
+    agg = InferenceAggregator(["a", "b"], jnp.ones((H, W)),
+                              log_zonal_mean_images=False)
+    for start in (0, 3):
+        t = rng.standard_normal((3, H, W, C))
+        agg.record_batch(t[None] + 0.1 * rng.standard_normal((E, 3, H, W, C)), t,
+                         start_step=start)
+    logs = agg.get_inference_logs("inference")
+    assert len(logs) == 6
+    assert [e["timestep"] for e in logs] == [0, 1, 2, 3, 4, 5]
+    assert "inference/rmse/a" in logs[0] and "inference/avg/crps" in logs[0]
+    # aggregate time-mean metrics attach to the final entry only
+    assert any(k.startswith("inference/time_mean/") for k in logs[-1])
+    assert not any(k.startswith("inference/time_mean/") for k in logs[0])
+
+
+def test_windowed_dataset_random_and_interpolation_strategies():
+    from spherical_dyffusion_tpu.data.datasets import (
+        SyntheticTimeSeries,
+        WindowedDataset,
+    )
+
+    names = ["v0", "v1"]
+    src = SyntheticTimeSeries(names, n_timesteps=40, spatial_shape=(4, 8), seed=0)
+    horizon = 6
+    full = WindowedDataset(src, names, horizon=horizon, window=1)
+    rnd = WindowedDataset(src, names, horizon=horizon, window=1, strategy="random",
+                          seed=5)
+    itp = WindowedDataset(src, names, horizon=horizon, window=1,
+                          strategy="interpolation", seed=5)
+    i = 3
+    ref = full[i]["dynamics"]  # (1+horizon, H, W, C)
+    s_r = rnd[i]
+    t_r = int(s_r["random_timestep"])
+    assert 1 <= t_r <= horizon
+    assert s_r["dynamics"].shape[0] == 2  # window frame + random frame
+    np.testing.assert_allclose(s_r["dynamics"][0], ref[0], rtol=1e-6)
+    np.testing.assert_allclose(s_r["dynamics"][1], ref[t_r], rtol=1e-6)
+    s_i = itp[i]
+    t_i = int(s_i["random_timestep"])
+    assert 1 <= t_i <= horizon - 1
+    assert s_i["dynamics"].shape[0] == 3  # window + random + last
+    np.testing.assert_allclose(s_i["dynamics"][1], ref[t_i], rtol=1e-6)
+    np.testing.assert_allclose(s_i["dynamics"][2], ref[horizon], rtol=1e-6)
+    # deterministic per (seed, index)
+    assert int(rnd[i]["random_timestep"]) == t_r
