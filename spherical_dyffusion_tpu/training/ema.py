@@ -23,7 +23,10 @@ class EmaState(NamedTuple):
 
 
 def ema_init(params: Any) -> EmaState:
-    return EmaState(params=jax.tree_util.tree_map(jnp.asarray, params),
+    # jnp.copy (not asarray): the EMA tree must not ALIAS the live params —
+    # aliased buffers break jit donation ("attempt to donate the same buffer
+    # twice") when the whole TrainState is donated
+    return EmaState(params=jax.tree_util.tree_map(jnp.copy, params),
                     count=jnp.zeros((), jnp.int32))
 
 

@@ -119,3 +119,99 @@ def test_distributed_sht_matches_single_device():
     np.testing.assert_allclose(np.asarray(pipe), np.asarray(want_pipe),
                                atol=2e-5, rtol=1e-4)
     assert pipe.sharding.spec == P(None, "h", "w", None)
+
+
+def _tiny_training_setup(dropout=0.0):
+    from spherical_dyffusion_tpu.data import DebugDataModule
+    from spherical_dyffusion_tpu.training import (
+        ExperimentConfig,
+        InterpolationExperiment,
+        Trainer,
+        TrainerConfig,
+    )
+
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=3,
+                         batch_size=8, n_timesteps=24)
+    model = SFNO(SFNOConfig(img_shape=(8, 16), in_chans=4, out_chans=2,
+                            embed_dim=8, num_layers=1, with_time_emb=True,
+                            dropout_mlp=dropout, min_time=1, max_time=2))
+    exp = InterpolationExperiment(
+        model, ExperimentConfig(horizon=3), dm.in_packer, dm.out_packer,
+        dm.normalizer)
+    return dm, exp, Trainer, TrainerConfig
+
+
+def test_shard_map_bf16_grad_reduce_matches_pjit_step():
+    """The explicit shard_map DP step with bf16 gradient all-reduce must match
+    the pjit step's math to bf16 rounding (dropout off so the only difference
+    is collective precision)."""
+    dm, exp, Trainer, TrainerConfig = _tiny_training_setup(dropout=0.0)
+    batch = next(iter(dm.train_batches(seed=0)))
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    rng = jax.random.PRNGKey(0)
+
+    losses, final_params = [], []
+    for rd in (None, "bfloat16"):
+        tr = Trainer(exp, dm, TrainerConfig(epochs=1, steps_per_epoch=1,
+                                            grad_reduce_dtype=rd, use_ema=False),
+                     mesh=mesh)
+        state = tr.init_state(batch)
+        step = tr._make_train_step()
+        dyn = shard_batch(mesh, batch["dynamics"])
+        state, metrics = step(state, dyn, None, rng, None)
+        losses.append(float(metrics["loss"]))
+        final_params.append(jax.device_get(state.params))
+    assert np.isfinite(losses[1])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-2)
+    a = jax.tree_util.tree_leaves(final_params[0])
+    b = jax.tree_util.tree_leaves(final_params[1])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-2)
+
+
+def test_shard_map_step_rejects_model_parallel_mesh():
+    dm, exp, Trainer, TrainerConfig = _tiny_training_setup()
+    batch = next(iter(dm.train_batches(seed=0)))
+    mesh = make_mesh(data=2, h=2, devices=jax.devices()[:4])
+    tr = Trainer(exp, dm, TrainerConfig(epochs=1, steps_per_epoch=1,
+                                        grad_reduce_dtype="bfloat16"), mesh=mesh)
+    tr.init_state(batch)
+    with pytest.raises(ValueError, match="data-parallel mesh"):
+        tr._make_train_step()
+
+
+def test_zero_shard_opt_state_sharded_and_trains():
+    dm, exp, Trainer, TrainerConfig = _tiny_training_setup()
+    batch = next(iter(dm.train_batches(seed=0)))
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    tr = Trainer(exp, dm, TrainerConfig(epochs=1, steps_per_epoch=1,
+                                        zero_shard_opt_state=True), mesh=mesh)
+    state = tr.init_state(batch)
+    # at least one adam moment leaf must actually be sharded over 'data'
+    specs = [
+        x.sharding.spec for x in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(x, "sharding") and np.ndim(x) >= 1
+    ]
+    assert any("data" in str(s) for s in specs), specs
+    step = tr._make_train_step()
+    dyn = shard_batch(mesh, batch["dynamics"])
+    state, metrics = step(state, dyn, None, jax.random.PRNGKey(0), None)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_donate_state_multi_step():
+    """Buffer donation across the TrainState (params + EMA + opt state): the
+    round-1 failure was EMA aliasing params at init (donating the same buffer
+    twice); ema_init now copies. Two chained donated steps must work."""
+    dm, exp, Trainer, TrainerConfig = _tiny_training_setup()
+    batch = next(iter(dm.train_batches(seed=0)))
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    tr = Trainer(exp, dm, TrainerConfig(epochs=1, steps_per_epoch=1,
+                                        donate_state=True), mesh=mesh)
+    state = tr.init_state(batch)
+    step = tr._make_train_step()
+    dyn = shard_batch(mesh, batch["dynamics"])
+    for i in range(2):
+        state, metrics = step(state, dyn, None,
+                              jax.random.fold_in(jax.random.PRNGKey(0), i), None)
+    assert np.isfinite(float(metrics["loss"]))
