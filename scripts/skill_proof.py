@@ -34,14 +34,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> dict:
+def main(argv=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
     ap.add_argument("--preset", choices=["full", "mini"], default="full")
     ap.add_argument("--out", default="results/skill")
     ap.add_argument("--ensemble", type=int, default=10)
     ap.add_argument("--rollout-steps", type=int, default=504)
-    args = ap.parse_args()
+    # the DYffusion noise source is interpolator dropout; its rate is THE
+    # calibration knob (higher -> more ensemble spread -> SSR closer to 1)
+    ap.add_argument("--dropout", type=float, default=None)
+    # CI-size overrides (used by tests/test_skill.py to keep the regression
+    # test fast while still proving learnability)
+    ap.add_argument("--epochs-interp", type=int, default=None)
+    ap.add_argument("--epochs-fc", type=int, default=None)
+    ap.add_argument("--steps-per-epoch", type=int, default=None)
+    args = ap.parse_args(argv)
 
     import jax
 
@@ -82,6 +90,14 @@ def main() -> dict:
                  n_val_timesteps=128, lr_interp=5e-3, lr_fc=3e-3,
                  dropout=0.15, eval_batches=2, eval_bs=4, ens_chunk=3)
 
+    if args.dropout is not None:
+        P["dropout"] = args.dropout
+    if args.epochs_interp is not None:
+        P["epochs_interp"] = args.epochs_interp
+    if args.epochs_fc is not None:
+        P["epochs_fc"] = args.epochs_fc
+    if args.steps_per_epoch is not None:
+        P["steps_per_epoch"] = args.steps_per_epoch
     HORIZON = P["horizon"]
     C = P["channels"]
     dm = StochasticDataModule(
@@ -275,13 +291,21 @@ def main() -> dict:
     rmse_clim_end = float(jnp.mean(M.root_mean_squared_error(
         jnp.broadcast_to(clim_field, final_raw.shape), final_raw,
         w[..., None], dim=(-3, -2, -1))))
+    # stability threshold relative to the TRUE data's normalized range: a
+    # rollout is stable when it stays within 3x the data's own max |state|
+    # (and finite) — an absolute cut-off would mislabel bounded drift
+    data_win = dm._val_src.read_window(0, min(256, dm._val_src.n_timesteps),
+                                       dm.cfg.in_names)
+    data_raw = jnp.asarray(np.stack([data_win[n] for n in dm.cfg.in_names], -1))
+    data_max = float(jnp.max(jnp.abs(dm.normalizer.normalize(data_raw))))
+    peak = max(max_abs_per_window)
     report["rollout"] = {
         "n_steps": args.rollout_steps,
         "max_abs_normalized_per_window": max_abs_per_window,
-        "max_abs_normalized": max(max_abs_per_window),
+        "max_abs_normalized": peak,
+        "data_max_abs_normalized": data_max,
         "final_state_rmse_vs_climatology": rmse_clim_end,
-        "stable": bool(max(max_abs_per_window) < 10.0
-                       and np.isfinite(max(max_abs_per_window))),
+        "stable": bool(np.isfinite(peak) and peak < 3.0 * data_max),
     }
     print(json.dumps(report["rollout"], indent=1), flush=True)
     report["wall_time_s"] = time.time() - t_start

@@ -1,0 +1,62 @@
+"""End-to-end learnability regression: the full two-stage DYffusion pipeline
+must train to skill on the stochastic spherical system (CI-size version of
+scripts/skill_proof.py; full-size results live in results/skill*).
+
+Pins the behaviors the reference's evaluation protocol cares about
+(reference src/evaluation/metrics.py:178-249, ckpt selection on val CRPS):
+interpolator skill >> climatology, forecaster beats the climatology baseline,
+cold sampling at least matches naive sampling on CRPS, ensembles carry
+nonzero spread, and a multi-window AR rollout stays finite and bounded.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.fixture(scope="module")
+def skill_report(tmp_path_factory):
+    from scripts.skill_proof import main
+
+    out = str(tmp_path_factory.mktemp("skill"))
+    return main([
+        "--preset=mini", "--platform=cpu", "--ensemble=4",
+        "--rollout-steps=16", f"--out={out}",
+        "--epochs-interp=4", "--epochs-fc=2", "--steps-per-epoch=40",
+    ])
+
+
+def test_interpolator_beats_climatology(skill_report):
+    i = skill_report["interpolator"]
+    assert i["val_rmse"] < 0.6 * i["baseline_rmse_climatology"], i
+    # training converged (loss decreased monotonically-ish end vs start)
+    assert i["train_loss"][-1] < 0.8 * i["train_loss"][0]
+
+
+def test_forecaster_has_skill_and_spread(skill_report):
+    c = skill_report["cold_sampling"]
+    # h1 must beat climatology with margin; all horizons finite
+    assert c["h1/rmse"] < 0.8 * c["h1/rmse_climatology"], c
+    for k, v in c.items():
+        assert np.isfinite(v), (k, v)
+    # the stochastic interpolator must inject nonzero ensemble spread
+    assert c["h1/ssr"] > 0.0
+    # CRPS <= RMSE always for proper ensembles (sanity of the metric wiring)
+    assert c["h1/crps"] < c["h1/rmse"]
+
+
+def test_cold_sampling_not_worse_than_naive(skill_report):
+    c, n = skill_report["cold_sampling"], skill_report["naive_sampling"]
+    cold = np.mean([c[f"h{h}/crps"] for h in (1, 2, 3, 4)])
+    naive = np.mean([n[f"h{h}/crps"] for h in (1, 2, 3, 4)])
+    assert cold <= 1.05 * naive, (cold, naive)
+
+
+def test_rollout_bounded(skill_report):
+    ro = skill_report["rollout"]
+    assert np.isfinite(ro["max_abs_normalized"])
+    assert ro["max_abs_normalized"] < 3.0 * ro["data_max_abs_normalized"], ro
