@@ -39,7 +39,7 @@ STEPS_PER_SIM_YEAR = 1460  # 6-hourly steps
 BASELINE_SIM_YEARS_PER_DAY = 25.0
 
 
-def build(embed=256, layers=8, dtype="float32", fold=False):
+def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -60,7 +60,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False):
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         dropout_mlp=0.1, drop_path_rate=0.1, min_time=1, max_time=horizon - 1,
         data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
-        sht_fold_symmetry=fold,
+        sht_fold_symmetry=fold, use_pallas=use_pallas,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -69,6 +69,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False):
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         min_time=0, max_time=horizon - 1, data_grid="equiangular",
         compute_dtype=dtype, sht_matmul_dtype=dtype, sht_fold_symmetry=fold,
+        use_pallas=use_pallas,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -93,6 +94,62 @@ def build(embed=256, layers=8, dtype="float32", fold=False):
     return stepper, in_names, forcing_names
 
 
+def product_bench(stepper, src, window, total_steps, n_ensemble, embed, layers):
+    """Time the REAL inference product path (run_inference with aggregator and
+    netCDF writer enabled), not just raw device windows."""
+    import tempfile
+
+    from spherical_dyffusion_tpu.evaluation.aggregators import InferenceAggregator
+    from spherical_dyffusion_tpu.inference import (
+        DataWriter,
+        DataWriterConfig,
+        InferenceConfig,
+        run_inference,
+    )
+
+    names = list(stepper.exp.out_packer.names)
+    n_steps = max(2 * window, total_steps)
+    icfg = InferenceConfig(
+        n_forward_steps=n_steps, forward_steps_in_memory=window,
+        n_ensemble=n_ensemble, n_repeats=n_steps // window + 2,
+    )
+    agg = InferenceAggregator(names, src.horizontal.area_weights(),
+                              log_zonal_mean_images=True)
+    # warmup: compile the window program outside the timed run
+    run_inference(
+        stepper, src,
+        InferenceConfig(n_forward_steps=window, forward_steps_in_memory=window,
+                        n_ensemble=n_ensemble, n_repeats=3),
+        mask_name="ocean_fraction", verbose=False,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        writer = DataWriter(
+            DataWriterConfig(save_prediction_files=True),
+            td, names, src.horizontal.lat, src.horizontal.lon, n_ensemble,
+        )
+        # warmup window for compile (separate stepper state; cheap)
+        summary = run_inference(stepper, src, icfg, aggregator=agg,
+                                writer=writer, mask_name="ocean_fraction",
+                                verbose=False)
+        writer.close()
+    dev = summary["duration_s"] - summary["time/data_loading"] - summary[
+        "time/writer_and_aggregator"]
+    sps = summary["total_steps_per_second"]
+    sim_years_per_day = sps * 86400.0 / STEPS_PER_SIM_YEAR
+    print(json.dumps({
+        "metric": "simulated_years_per_day",
+        "value": round(sim_years_per_day, 3),
+        "unit": "sim-years/day (PRODUCT bench: run_inference w/ aggregator+writer, "
+                f"embed{embed}x{layers}, window {window}, ensemble {n_ensemble}; "
+                f"host fractions: data "
+                f"{summary['time/data_loading']/summary['duration_s']:.1%}, "
+                f"writer+agg "
+                f"{summary['time/writer_and_aggregator']/summary['duration_s']:.1%}, "
+                f"device+dispatch {dev/summary['duration_s']:.1%})",
+        "vs_baseline": round(sim_years_per_day / BASELINE_SIM_YEARS_PER_DAY, 3),
+    }))
+
+
 def main():
     embed = int(os.environ.get("BENCH_EMBED", 256))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
@@ -104,10 +161,19 @@ def main():
     # casting activations to bf16 (measured: 954 vs 494 sim-yr/day)
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     fold = os.environ.get("BENCH_FOLD", "0") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
 
-    stepper, in_names, forcing_names = build(embed, layers, dtype, fold)
+    stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
+
+    if os.environ.get("BENCH_PRODUCT", "0") == "1":
+        # product bench: the full run_inference path with aggregator + writer
+        # consuming every window (100MB/window host drains) — proves the
+        # deferred-drain + prefetch pipeline overlaps host work with device
+        # compute (time/* fractions in the output)
+        return product_bench(stepper, src, window, total_steps, n_ensemble,
+                             embed, layers)
 
     # drive windows directly and take the MEDIAN window time: the shared TPU
     # tunnel has multi-x run-to-run variance, so mean-over-one-run is noise
