@@ -49,6 +49,13 @@ def main(argv=None) -> dict:
     ap.add_argument("--epochs-interp", type=int, default=None)
     ap.add_argument("--epochs-fc", type=int, default=None)
     ap.add_argument("--steps-per-epoch", type=int, default=None)
+    # per-member gaussian input perturbation at prediction time (reference
+    # prediction_inputs_noise) — the second calibration knob; inference-only,
+    # so sweeps reuse trained checkpoints via --reuse
+    ap.add_argument("--inputs-noise", type=float, default=0.0)
+    ap.add_argument("--reuse", default=None,
+                    help="out dir of a previous run: load its checkpoints "
+                         "and skip training (eval-only calibration sweeps)")
     args = ap.parse_args(argv)
 
     import jax
@@ -125,15 +132,30 @@ def main(argv=None) -> dict:
     ))
     interp = InterpolationExperiment(imodel, icfg, dm.in_packer, dm.out_packer,
                                      dm.normalizer)
+    from flax import serialization
+
+    def _save(params, name):
+        with open(os.path.join(args.out, name), "wb") as f:
+            f.write(serialization.msgpack_serialize(jax.device_get(params)))
+
+    def _load(name):
+        with open(os.path.join(args.reuse, name), "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
     t1 = Trainer(interp, dm, TrainerConfig(
         lr=P["lr_interp"], epochs=P["epochs_interp"], use_ema=True,
         warmup_steps=50, steps_per_epoch=P["steps_per_epoch"], seed=0,
         val_ensemble_chunk=P.get("ens_chunk"),
     ))
-    hist1 = t1.fit(verbose=True, val_every=1)
-    ip_params = jax.device_get(
-        t1.state.ema.params if t1.state.ema is not None else t1.state.params
-    )
+    if args.reuse:
+        ip_params = _load("interpolator.msgpack")
+        hist1 = {"train_loss": [], "val": []}
+    else:
+        hist1 = t1.fit(verbose=True, val_every=1)
+        ip_params = jax.device_get(
+            t1.state.ema.params if t1.state.ema is not None else t1.state.params
+        )
+    _save(ip_params, "interpolator.msgpack")
 
     # baselines for the interpolation task on the val set, computed on device:
     #   climatology (predict the training time-mean field) and linear
@@ -163,7 +185,13 @@ def main(argv=None) -> dict:
         clims.append(float(c_)); lins.append(float(l_))
         if len(clims) >= P["eval_batches"]:
             break
-    interp_val = t1.validate(t1.state, max_batches=P["eval_batches"])
+    if args.reuse:
+        prev = json.load(open(os.path.join(args.reuse, "metrics.json")))
+        interp_val = {f"val/avg/{k.split('_', 1)[1]}": v
+                      for k, v in prev["interpolator"].items()
+                      if k.startswith("val_") and v is not None}
+    else:
+        interp_val = t1.validate(t1.state, max_batches=P["eval_batches"])
     report["interpolator"] = {
         "train_loss": hist1["train_loss"],
         "val_rmse": interp_val.get("val/avg/rmse"),
@@ -194,12 +222,18 @@ def main(argv=None) -> dict:
         warmup_steps=50, steps_per_epoch=P["steps_per_epoch"], seed=1,
         val_ensemble_chunk=P.get("ens_chunk"),
     ))
-    hist2 = t2.fit(verbose=True, val_every=1)
-    fc_params = jax.device_get(
-        t2.state.ema.params if t2.state.ema is not None else t2.state.params
-    )
+    if args.reuse:
+        fc_params = _load("forecaster.msgpack")
+        hist2 = {"train_loss": [], "val": []}
+    else:
+        hist2 = t2.fit(verbose=True, val_every=1)
+        fc_params = jax.device_get(
+            t2.state.ema.params if t2.state.ema is not None else t2.state.params
+        )
+    _save(fc_params, "forecaster.msgpack")
     report["forecaster"] = {"train_loss": hist2["train_loss"],
                             "val": hist2["val"][-1] if hist2["val"] else {}}
+    report["inputs_noise"] = args.inputs_noise
 
     # ------------------------------------------------- per-horizon ensembles
     # one jitted program: E members of the full sampling loop + per-horizon
@@ -210,7 +244,11 @@ def main(argv=None) -> dict:
             init = _stack_window(dyn_n[:, :1])
 
             def member(key):
-                out = exp.predict(params, init, key, aux_params=aux)
+                x = init
+                if args.inputs_noise > 0:  # reference get_ensemble_inputs
+                    x = x + args.inputs_noise * jax.random.normal(
+                        jax.random.fold_in(key, 17), x.shape, x.dtype)
+                out = exp.predict(params, x, key, aux_params=aux)
                 return {h: out.preds[h] for h in range(1, HORIZON + 1)
                         if h in out.preds}
 
@@ -272,7 +310,7 @@ def main(argv=None) -> dict:
 
     # ------------------------------------------------------ rollout stability
     print(f"== rollout stability ({args.rollout_steps} AR steps) ==", flush=True)
-    stepper = DYffusionStepper(fexp, fc_params)
+    stepper = DYffusionStepper(fexp, fc_params, inputs_noise=args.inputs_noise)
     seg = min(args.rollout_steps, 12 * HORIZON)
     # build normalized initial state (B=1, H, W, C)
     frame0 = dm._val_src.read_window(0, 1, dm.cfg.in_names)

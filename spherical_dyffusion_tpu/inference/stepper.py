@@ -49,6 +49,7 @@ class DYffusionStepper:
         use_ema_params: bool = False,
         ema_params=None,
         mesh=None,
+        inputs_noise: Optional[float] = None,
     ):
         """``use_ema_params`` selects the forecaster's EMA tree (``ema_params``)
         for the rollout, the reference MultiStepStepper semantics; the
@@ -87,6 +88,15 @@ class DYffusionStepper:
                 lambda x: jax.device_put(x, rep), self.params
             )
         self.prescriber = prescriber or NullPrescriber()
+        # per-member gaussian input perturbation at each window start
+        # (reference prediction_inputs_noise / get_ensemble_inputs,
+        # _base_experiment.py:852-877): batch rows are ensemble members, so a
+        # fresh draw per row per window is the rollout analog
+        self.inputs_noise = float(
+            inputs_noise
+            if inputs_noise is not None
+            else getattr(experiment.cfg, "prediction_inputs_noise", 0.0) or 0.0
+        )
         self.horizon = experiment.cfg.horizon
         in_names = list(experiment.in_packer.names)
         out_names = list(experiment.out_packer.names)
@@ -160,6 +170,11 @@ class DYffusionStepper:
                   targets (zeros when no prescriber).
             mask: (B, H, W) raw mask field (or zeros).
             Returns (final_state, preds (B, n_steps, H, W, C_out))."""
+            if self.inputs_noise > 0.0:
+                rng, nkey = jax.random.split(rng)
+                x0 = x0 + self.inputs_noise * jax.random.normal(
+                    nkey, x0.shape, x0.dtype
+                )
             keys = jax.random.split(rng, n_full + 1)
 
             def split_seg(arr):

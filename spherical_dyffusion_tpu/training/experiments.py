@@ -52,6 +52,11 @@ class ExperimentConfig:
     num_predictions: int = 10  # validation ensemble size
     enable_inference_dropout: bool = False
     stack_window_to_channel_dim: bool = True
+    # gaussian noise added to each ensemble member's (normalized) inputs at
+    # prediction time (reference prediction_inputs_noise,
+    # _base_experiment.py:64,92 + get_ensemble_inputs :852-877) — the second
+    # ensemble-spread source besides interpolator dropout
+    prediction_inputs_noise: float = 0.0
 
 
 def _stack_window(x: jax.Array) -> jax.Array:

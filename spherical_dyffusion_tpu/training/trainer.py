@@ -532,8 +532,20 @@ class Trainer:
         ens_metrics = self._ens_metrics
         chunk = self.cfg.val_ensemble_chunk
 
+        in_noise = float(getattr(exp.cfg, "prediction_inputs_noise", 0.0) or 0.0)
+
+        def perturb(inputs, key):
+            """Per-member input perturbation (reference get_ensemble_inputs
+            adds inputs_noise * randn to every member)."""
+            if in_noise <= 0.0:
+                return inputs
+            return inputs + in_noise * jax.random.normal(
+                jax.random.fold_in(key, 17), inputs.shape, inputs.dtype
+            )
+
         if hasattr(exp, "get_inputs_from_dynamics"):  # interpolation
-            E = self._val_ensemble if exp.cfg.enable_inference_dropout else 1
+            E = (self._val_ensemble
+                 if (exp.cfg.enable_inference_dropout or in_noise > 0) else 1)
             use_do = exp.cfg.enable_inference_dropout
 
             def eval_step(params, aux, dyn, cond, rng, w):
@@ -549,8 +561,8 @@ class Trainer:
 
                     def member(key):
                         return exp.predict(
-                            params, inputs, time=t, condition=c, rng=key,
-                            use_inference_dropout=use_do,
+                            params, perturb(inputs, key), time=t, condition=c,
+                            rng=key, use_inference_dropout=use_do,
                         )
 
                     keys = jax.random.split(jax.random.fold_in(rng, t_step), E)
@@ -575,8 +587,8 @@ class Trainer:
                        if exp.cfg.window + h - 1 < T]
 
             def member(key):
-                out = exp.predict(params, init, key, dynamical_condition=cond,
-                                  aux_params=aux)
+                out = exp.predict(params, perturb(init, key), key,
+                                  dynamical_condition=cond, aux_params=aux)
                 return {h: out.preds[h] for h in valid_h if h in out.preds}
 
             preds = chunked_vmap(member, jax.random.split(rng, E), chunk)  # h -> (E, B, ...)

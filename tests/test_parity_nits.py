@@ -141,3 +141,80 @@ def test_windowed_dataset_random_and_interpolation_strategies():
     np.testing.assert_allclose(s_i["dynamics"][2], ref[horizon], rtol=1e-6)
     # deterministic per (seed, index)
     assert int(rnd[i]["random_timestep"]) == t_r
+
+
+def _tiny_dyffusion_exp():
+    import jax
+
+    from spherical_dyffusion_tpu.data import DebugDataModule
+    from spherical_dyffusion_tpu.diffusion import DYffusionConfig
+    from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+    from spherical_dyffusion_tpu.training import (
+        DYffusionForecastingExperiment,
+        ExperimentConfig,
+        InterpolationExperiment,
+        Trainer,
+        TrainerConfig,
+    )
+
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=3,
+                         batch_size=2, n_timesteps=16)
+    mk = lambda lo, hi: SFNO(SFNOConfig(  # noqa: E731
+        img_shape=(8, 16), in_chans=4, out_chans=2, embed_dim=8, num_layers=1,
+        with_time_emb=True, min_time=lo, max_time=hi))
+    interp = InterpolationExperiment(
+        mk(1, 2), ExperimentConfig(horizon=3, enable_inference_dropout=True),
+        dm.in_packer, dm.out_packer, dm.normalizer)
+    batch = next(iter(dm.train_batches(seed=0)))
+    tr = Trainer(interp, dm, TrainerConfig(epochs=0, steps_per_epoch=1))
+    dynn = dm.normalizer.normalize(np.asarray(batch["dynamics"][:1]))
+    import jax.numpy as jnp
+
+    ip = tr._init_params(jax.random.PRNGKey(0), jnp.asarray(dynn), batch)
+    fexp = DYffusionForecastingExperiment(
+        mk(0, 2), interp, jax.device_get(ip),
+        DYffusionConfig(timesteps=3, forward_conditioning="data"),
+        ExperimentConfig(horizon=3, prediction_inputs_noise=0.1),
+        dm.in_packer, dm.out_packer, dm.normalizer)
+    tr_fc = Trainer(fexp, dm, TrainerConfig(epochs=0, steps_per_epoch=1))
+    fc = tr_fc._init_params(jax.random.PRNGKey(1), jnp.asarray(dynn), batch)
+    return dm, fexp, jax.device_get(fc)
+
+
+def test_prediction_inputs_noise_creates_rollout_spread():
+    import jax
+    import jax.numpy as jnp
+
+    from spherical_dyffusion_tpu.inference import DYffusionStepper
+
+    dm, fexp, fc = _tiny_dyffusion_exp()
+    x0 = jnp.zeros((2, 8, 16, 2))  # two identical member rows
+    rng = jax.random.PRNGKey(3)
+    # noise from the experiment config (0.1): member rows must diverge
+    stepper = DYffusionStepper(fexp, fc)
+    assert stepper.inputs_noise == 0.1
+    _, preds = stepper.run_window(x0, None, None, None, rng, 3)
+    assert float(jnp.max(jnp.abs(preds[0] - preds[1]))) > 0.0
+    # explicit zero override: identical rows stay identical
+    stepper0 = DYffusionStepper(fexp, fc, inputs_noise=0.0)
+    _, preds0 = stepper0.run_window(x0, None, None, None, rng, 3)
+    np.testing.assert_array_equal(np.asarray(preds0[0]), np.asarray(preds0[1]))
+
+
+def test_prediction_inputs_noise_in_trainer_eval():
+    import jax
+
+    from spherical_dyffusion_tpu.training import Trainer, TrainerConfig
+
+    dm, fexp, fc = _tiny_dyffusion_exp()
+    tr = Trainer(fexp, dm, TrainerConfig(epochs=0, steps_per_epoch=1,
+                                         num_predictions=3))
+    eval_step = tr._get_eval_step()
+    batch = next(iter(dm.val_batches(horizon=3)))
+    import jax.numpy as jnp
+
+    w = jnp.asarray(dm.grid.horizontal.area_weights())
+    table = eval_step(fc, fexp.aux_params, jnp.asarray(batch["dynamics"]),
+                      None, jax.random.PRNGKey(0), w)
+    # with inputs noise the 3-member ensemble has nonzero spread -> SSR > 0
+    assert float(table["ssr"]) > 0.0
