@@ -115,23 +115,31 @@ def product_bench(stepper, src, window, total_steps, n_ensemble, embed, layers):
     )
     agg = InferenceAggregator(names, src.horizontal.area_weights(),
                               log_zonal_mean_images=True)
-    # warmup: compile the window program outside the timed run
+    # warmup: compile the window program AND the aggregator's reduce programs
+    # outside the timed run
     run_inference(
         stepper, src,
         InferenceConfig(n_forward_steps=window, forward_steps_in_memory=window,
                         n_ensemble=n_ensemble, n_repeats=3),
+        aggregator=InferenceAggregator(names, src.horizontal.area_weights(),
+                                       log_zonal_mean_images=True),
         mask_name="ocean_fraction", verbose=False,
     )
+    # BENCH_WRITER=0 drops the netCDF writer: with it, every window's full
+    # prediction tensor (~435MB at w=48) must cross the axon HTTP tunnel —
+    # a tunnel-bandwidth ceiling, not a pipeline defect (PCIe-attached hosts
+    # fetch the same bytes in ~0.1s)
+    with_writer = os.environ.get("BENCH_WRITER", "1") == "1"
     with tempfile.TemporaryDirectory() as td:
         writer = DataWriter(
             DataWriterConfig(save_prediction_files=True),
             td, names, src.horizontal.lat, src.horizontal.lon, n_ensemble,
-        )
-        # warmup window for compile (separate stepper state; cheap)
+        ) if with_writer else None
         summary = run_inference(stepper, src, icfg, aggregator=agg,
                                 writer=writer, mask_name="ocean_fraction",
                                 verbose=False)
-        writer.close()
+        if writer is not None:
+            writer.close()
     dev = summary["duration_s"] - summary["time/data_loading"] - summary[
         "time/writer_and_aggregator"]
     sps = summary["total_steps_per_second"]

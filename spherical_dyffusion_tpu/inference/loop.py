@@ -197,33 +197,59 @@ def run_inference(
     x_norm = stepper.shard_rows(x_norm)
     timers["data_loading"] += time.time() - t0
 
-    # background-thread window prefetch: window k+1's h5py reads overlap
-    # window k's device compute (paired with the deferred-drain queue below,
-    # the host pipeline is fully async around the device)
+    # background-thread window prefetch: window k+1's h5py reads, the target
+    # stacking, AND the target host->device upload all run on the producer
+    # thread while window k computes (paired with the deferred-drain queue
+    # below, the host pipeline is fully async around the device). Uploading
+    # targets early matters: the aggregator reduces on device, and a
+    # synchronous 400MB+ upload per window would otherwise sit on the
+    # critical path (dominant cost through the TPU tunnel).
     from ..data.datamodule import prefetched
 
-    it = prefetched(iter(windows), depth=2)
+    def _with_targets(stream):
+        for start_step, data in stream:
+            tgt_dev = None
+            if consume and aggregator is not None:
+                n_avail = _ic_view(data[out_names[0]]).shape[1] - 1
+                tgt_dev = [
+                    jax.device_put(np.stack(
+                        [_ic_view(data[n])[ic, 1 : n_avail + 1] for n in out_names],
+                        axis=-1,
+                    ))
+                    for ic in range(n_ic)
+                ]
+            yield start_step, data, tgt_dev
+
+    it = prefetched(_with_targets(iter(windows)), depth=2)
     n_done = 0
     pending = []  # deferred (device preds, window data) awaiting host work
 
     def _drain(item):
-        preds_raw, w_data, w_start, w_steps = item
-        preds_raw_host = np.asarray(preds_raw)  # (n_ic * E, T, H, W, C)
+        preds_raw, w_data, w_tgt_dev, w_start, w_steps = item
+        # the full prediction tensor (hundreds of MB/window) crosses to the
+        # host ONLY when a writer must persist it; aggregators reduce on
+        # device against the pre-uploaded targets and fetch just
+        # tables/rows/snapshot slices
+        preds_raw_host = (
+            np.asarray(preds_raw) if writer is not None else None
+        )  # (n_ic * E, T, H, W, C)
         for ic in range(n_ic):
-            targets_raw = np.stack(
-                [_ic_view(w_data[n])[ic, 1 : w_steps + 1] for n in out_names],
-                axis=-1,
-            )
-            preds_ic = preds_raw_host[ic * E : (ic + 1) * E]
             if aggregator is not None:
-                aggregator.record_batch(preds_ic, targets_raw, start_step=w_start)
+                aggregator.record_batch(
+                    preds_raw[ic * E : (ic + 1) * E], w_tgt_dev[ic],
+                    start_step=w_start,
+                )
             if writer is not None:
-                writer.append(preds_ic, targets_raw)
+                targets_raw = np.stack(
+                    [_ic_view(w_data[n])[ic, 1 : w_steps + 1] for n in out_names],
+                    axis=-1,
+                )
+                writer.append(preds_raw_host[ic * E : (ic + 1) * E], targets_raw)
 
     while True:
         t0 = time.time()
         try:
-            start_step, data = next(it)
+            start_step, data, tgt_dev = next(it)
         except StopIteration:
             break
         timers["data_loading"] += time.time() - t0
@@ -281,7 +307,8 @@ def run_inference(
             # the NEXT window has been dispatched, so host-side aggregation
             # overlaps with device compute (async dispatch pipelining)
             pending.append(
-                (out_norm.denormalize(preds_norm), data, start_step, n_steps)
+                (out_norm.denormalize(preds_norm), data, tgt_dev, start_step,
+                 n_steps)
             )
         else:
             # nothing consumes the predictions: only the carried state matters

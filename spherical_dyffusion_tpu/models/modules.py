@@ -29,13 +29,18 @@ __all__ = [
 def _gelu_exact(x: jax.Array) -> jax.Array:
     # torch nn.GELU() defaults to the EXACT erf form; flax nn.gelu defaults to
     # the tanh approximation, which differs at the ~1e-3 level — enough to
-    # break checkpoint parity with the reference. Same fused cost on TPU.
+    # break checkpoint parity with the reference. The erf lowering is 30%
+    # SLOWER end-to-end on TPU v5e (674 vs 970 sim-yr/day measured), so the
+    # exact form is opt-in via activation_function="gelu_exact" — selected
+    # automatically when loading reference-format checkpoints
+    # (torch_convert.translate_reference_hparams).
     return nn.gelu(x, approximate=False)
 
 
 def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
     acts = {
-        "gelu": _gelu_exact,
+        "gelu": lambda x: nn.gelu(x, approximate=True),
+        "gelu_exact": _gelu_exact,
         "relu": nn.relu,
         "silu": nn.silu,
         "tanh": jnp.tanh,

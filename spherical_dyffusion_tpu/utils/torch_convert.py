@@ -189,6 +189,11 @@ def translate_reference_hparams(hparams: Dict[str, Any]) -> Dict[str, Any]:
         model_cfg["kind"] = "sfno"
     elif "unet" in target.lower():
         model_cfg["kind"] = "unet"
+    # torch nn.GELU is the exact erf form; our fast default is the tanh
+    # approximation (30% faster end-to-end on TPU, differs ~1e-3). Reference
+    # checkpoints must run the exact form for activation parity.
+    if str(model_cfg.get("activation_function", "gelu")) == "gelu":
+        model_cfg["activation_function"] = "gelu_exact"
     out["model"] = model_cfg
 
     dm_cfg = dict(hparams.get("datamodule_config", {}) or {})
