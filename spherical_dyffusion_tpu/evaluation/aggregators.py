@@ -115,9 +115,11 @@ class TimeMeanAggregator:
         return p, self._tgt_sum / self._n
 
 
-def _window_tables(preds, targets, w):
+def _window_tables(preds, targets, w, norm_stats=None):
     """Jitted per-window reduction. preds (E, T, H, W, C), targets (T, H, W, C)
-    -> dict of (T, C) tables."""
+    -> dict of (T, C) tables. With ``norm_stats`` = (means, stds), the
+    ``*_normed`` variants on standardized fields are added (reference
+    MeanAggregator's lazy `_normed` metric dict, timestepwise.py:26-214)."""
     wc = w[..., None]
     ens_mean = jnp.mean(preds, axis=0)
     out = {
@@ -130,6 +132,12 @@ def _window_tables(preds, targets, w):
     if preds.shape[0] > 1:
         out["crps"] = M.crps_ensemble(targets, preds, wc, dim=(-3, -2))
         out["ssr"] = M.spread_skill_ratio(targets, preds, wc, dim=(-3, -2))
+    if norm_stats is not None:
+        mu, sd = norm_stats
+        pn = (preds - mu) / sd
+        tn = (targets - mu) / sd
+        out.update({f"{k}_normed": v
+                    for k, v in _window_tables(pn, tn, w, None).items()})
     return out
 
 
@@ -137,9 +145,17 @@ class ReducedMetricsAggregator:
     """Per-timestep metric tables over a full rollout (reference
     inference/reduced.py + MeanAggregator): rows indexed by global timestep."""
 
-    def __init__(self, names: Sequence[str], area_weights: jax.Array):
+    def __init__(self, names: Sequence[str], area_weights: jax.Array,
+                 normalizer=None):
+        """``normalizer``: optional StandardNormalizer over ``names`` — when
+        given, every metric also gets its ``_normed`` variant on the
+        standardized fields (reference `_normed` metrics)."""
         self.names = list(names)
         self.w = area_weights
+        self._norm_stats = (
+            (jnp.asarray(normalizer.means), jnp.asarray(normalizer.stds))
+            if normalizer is not None else None
+        )
         self._tables: Dict[str, List[np.ndarray]] = {}
         self._steps: List[int] = []
         self._fn = jax.jit(_window_tables)
@@ -150,7 +166,7 @@ class ReducedMetricsAggregator:
             preds = preds[None]
         # tables stay DEVICE arrays until series() — recording must not force
         # a host sync (it would serialize against the in-flight next window)
-        tables = self._fn(preds, jnp.asarray(targets), self.w)
+        tables = self._fn(preds, jnp.asarray(targets), self.w, self._norm_stats)
         T = preds.shape[1]
         self._steps.extend(range(start_step, start_step + T))
         for k, v in tables.items():
@@ -240,10 +256,12 @@ class InferenceAggregator:
         log_zonal_mean_images: bool = True,
         log_video: bool = False,
         snapshot_steps: Optional[Sequence[int]] = None,
+        normalizer=None,
     ):
         self.names = list(names)
         self.time_mean = TimeMeanAggregator(names, area_weights)
-        self.reduced = ReducedMetricsAggregator(names, area_weights)
+        self.reduced = ReducedMetricsAggregator(names, area_weights,
+                                                normalizer=normalizer)
         self.snapshots = SnapshotAggregator(names, snapshot_steps)
         self.zonal = ZonalMeanAggregator(names) if log_zonal_mean_images else None
         if log_video:
@@ -261,8 +279,10 @@ class InferenceAggregator:
         w = self.time_mean.w
         with_zonal = self.zonal is not None
 
+        norm_stats = self.reduced._norm_stats
+
         def fused(psum, tsum, preds, targets):
-            tables = _window_tables(preds, targets, w)
+            tables = _window_tables(preds, targets, w, norm_stats)
             psum = psum + jnp.sum(preds, axis=-4)
             tsum = tsum + jnp.sum(targets, axis=0)
             if with_zonal:

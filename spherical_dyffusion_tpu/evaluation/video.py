@@ -38,12 +38,18 @@ class _RunningMoments:
             self.count = np.concatenate([self.count, np.zeros((extra,) + self.count.shape[1:])])
             self.mean = np.concatenate([self.mean, np.zeros((extra,) + self.mean.shape[1:])])
             self.m2 = np.concatenate([self.m2, np.zeros((extra,) + self.m2.shape[1:])])
-        for i in range(n):  # Welford update per sample
-            x = values[i].astype(np.float64)
-            self.count[start:end] += 1
-            delta = x - self.mean[start:end]
-            self.mean[start:end] += delta / self.count[start:end]
-            self.m2[start:end] += delta * (x - self.mean[start:end])
+        # batched Welford (Chan's parallel combine): one vectorized update for
+        # the whole member batch instead of a python loop per member —
+        # identical moments, O(n) fewer passes over the (T, H, W, C) videos
+        x = values.astype(np.float64)
+        b_mean = x.mean(axis=0)
+        b_m2 = ((x - b_mean) ** 2).sum(axis=0)
+        old_count = self.count[start:end]
+        new_count = old_count + n
+        delta = b_mean - self.mean[start:end]
+        self.mean[start:end] += delta * (n / new_count)
+        self.m2[start:end] += b_m2 + delta**2 * (old_count * n / new_count)
+        self.count[start:end] = new_count
 
     @property
     def variance(self) -> Optional[np.ndarray]:

@@ -88,6 +88,9 @@ def main_from_config(cfg: dict) -> dict:
         list(exp.out_packer.names), hc.area_weights(),
         log_zonal_mean_images=bool(cfg.get("log_zonal_mean_images", True)),
         log_video=bool(cfg.get("log_video", False)),
+        # training-normalization stats give every metric its `_normed`
+        # variant (reference MeanAggregator normed metrics)
+        normalizer=exp.normalizer.subset(list(exp.out_packer.names)),
     )
     w_cfg = cfg.get("data_writer", {})
     writer = DataWriter(

@@ -218,3 +218,46 @@ def test_prediction_inputs_noise_in_trainer_eval():
                       None, jax.random.PRNGKey(0), w)
     # with inputs noise the 3-member ensemble has nonzero spread -> SSR > 0
     assert float(table["ssr"]) > 0.0
+
+
+def test_batched_welford_matches_loop():
+    from spherical_dyffusion_tpu.evaluation.video import _RunningMoments
+
+    rng = np.random.default_rng(0)
+    xs = [rng.standard_normal((3, 4, 5, 6, 2)) for _ in range(3)]
+    rm = _RunningMoments()
+    for x in xs:
+        rm.update(0, x)
+    allx = np.concatenate(xs, 0).astype(np.float64)
+    np.testing.assert_allclose(rm.mean, allx.mean(0), atol=1e-10)
+    np.testing.assert_allclose(rm.variance, allx.var(0, ddof=1), atol=1e-10)
+    # disjoint + overlapping step ranges
+    rm2 = _RunningMoments()
+    rm2.update(0, xs[0])
+    rm2.update(4, xs[1])
+    assert rm2.mean.shape[0] == 8
+
+
+def test_normed_metric_variants():
+    import jax.numpy as jnp
+
+    from spherical_dyffusion_tpu.data.normalization import StandardNormalizer
+    from spherical_dyffusion_tpu.evaluation.aggregators import InferenceAggregator
+
+    rng = np.random.default_rng(3)
+    names = ["a", "b"]
+    norm = StandardNormalizer.from_dicts({"a": 1.0, "b": -2.0},
+                                         {"a": 4.0, "b": 0.5}, names)
+    agg = InferenceAggregator(names, jnp.ones((4, 8)), normalizer=norm,
+                              log_zonal_mean_images=False)
+    t = rng.standard_normal((3, 4, 8, 2))
+    p = t[None] + rng.standard_normal((2, 3, 4, 8, 2))
+    agg.record_batch(p, t, 0)
+    logs = agg.get_logs("inf")
+    assert "inf/rmse/a" in logs and "inf/rmse_normed/a" in logs
+    # normed rmse of channel a must be raw rmse / std_a (pure rescale)
+    series = agg.reduced.series()
+    np.testing.assert_allclose(series["rmse_normed"][:, 0],
+                               series["rmse"][:, 0] / 4.0, rtol=1e-5)
+    np.testing.assert_allclose(series["rmse_normed"][:, 1],
+                               series["rmse"][:, 1] / 0.5, rtol=1e-5)
