@@ -191,6 +191,13 @@ def save_experiment_checkpoint(path: str, state, config: Dict[str, Any]):
             strip_constants(state.ema.params)
             if getattr(state, "ema", None) is not None else None
         ),
+        # optimizer state (adam moments + schedule counts) makes mid-training
+        # resume exact — the reference's Lightning ckpts carry
+        # optimizer_states the same way; inference loading ignores this key
+        "opt_state": (
+            serialization.to_state_dict(jax.device_get(state.opt_state))
+            if getattr(state, "opt_state", None) is not None else None
+        ),
         "step": int(state.step),
         "config_json": json.dumps(config),
     }

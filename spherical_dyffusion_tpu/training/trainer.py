@@ -190,14 +190,26 @@ class Trainer:
         if cfg.accumulate_grad_batches > 1:
             self.tx = optax.MultiSteps(self.tx, cfg.accumulate_grad_batches)
         opt_state = self.tx.init(params.get("params", params) if isinstance(params, dict) else params)
+        if restore is not None and restore.get("opt_state") is not None:
+            # exact mid-training resume: adam moments + schedule counts
+            # continue where the checkpoint left off (reference Lightning
+            # ckpts restore optimizer_states the same way)
+            try:
+                opt_state = serialization.from_state_dict(
+                    opt_state, restore["opt_state"]
+                )
+            except (KeyError, ValueError) as e:  # optimizer config changed
+                print(f"[resume] optimizer state incompatible, reinitialized ({e})")
         ema = ema_init(params) if cfg.use_ema else None
         if restore is not None and cfg.use_ema and restore.get("ema_params"):
             ema = EmaState(
                 params=_merge_restored(params, restore["ema_params"]),
                 count=jnp.asarray(restore.get("step", 0), jnp.int32),
             )
-        state = TrainState(params=params, opt_state=opt_state, ema=ema,
-                           step=jnp.zeros((), jnp.int32))
+        state = TrainState(
+            params=params, opt_state=opt_state, ema=ema,
+            step=jnp.asarray(restore.get("step", 0) if restore else 0, jnp.int32),
+        )
         if self.mesh.size == 1:
             return state
         # replicate over the mesh; optionally ZeRO-shard the optimizer state

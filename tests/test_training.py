@@ -252,3 +252,58 @@ def test_fit_in_memory_matches_fit_semantics():
     # validation works off the fused-trained state
     val = tr.validate(tr.state, max_batches=1)
     assert all(np.isfinite(v) for v in val.values())
+
+
+def test_resume_restores_optimizer_state_and_step(tmp_path):
+    """Mid-training resume must continue the optimizer (adam moments +
+    schedule counts) and global step, not restart them (reference Lightning
+    ckpts restore optimizer_states)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from spherical_dyffusion_tpu.data import DebugDataModule
+    from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+    from spherical_dyffusion_tpu.training import (
+        ExperimentConfig,
+        InterpolationExperiment,
+        Trainer,
+        TrainerConfig,
+    )
+
+    def make():
+        dm = DebugDataModule(channels=2, height=8, width=16, horizon=3,
+                             batch_size=2, n_timesteps=16)
+        model = SFNO(SFNOConfig(img_shape=(8, 16), in_chans=4, out_chans=2,
+                                embed_dim=8, num_layers=1, with_time_emb=True,
+                                min_time=1, max_time=2))
+        exp = InterpolationExperiment(model, ExperimentConfig(horizon=3),
+                                      dm.in_packer, dm.out_packer, dm.normalizer)
+        return dm, exp
+
+    dm, exp = make()
+    tr = Trainer(exp, dm, TrainerConfig(epochs=1, steps_per_epoch=3, lr=1e-3))
+    batch = next(iter(dm.train_batches(seed=0)))
+    state = tr.init_state(batch)
+    step = tr._make_train_step()
+    dyn = jnp.asarray(batch["dynamics"])
+    for i in range(3):
+        state, _ = step(state, dyn, None, jax.random.PRNGKey(i), None)
+    path = str(tmp_path / "mid.ckpt")
+    tr.save_checkpoint(state, path, extra_config={"experiment": "interpolation"})
+
+    dm2, exp2 = make()
+    tr2 = Trainer(exp2, dm2, TrainerConfig(epochs=1, steps_per_epoch=3, lr=1e-3))
+    tr2.restore_payload = Trainer.load_checkpoint(path)
+    state2 = tr2.init_state(batch)
+    assert int(state2.step) == 3
+    # adam moments restored (nonzero, equal to the saved ones)
+    def mu_leaves(s):
+        return [np.asarray(x) for x in jax.tree_util.tree_leaves(s)
+                if hasattr(x, "shape")]
+    a = mu_leaves(jax.device_get(state.opt_state))
+    b = mu_leaves(jax.device_get(state2.opt_state))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=1e-7)
+    assert any(np.abs(x).max() > 0 for x in b)  # not a fresh init
