@@ -473,16 +473,22 @@ class Trainer:
         verbose: bool = True,
         logger=None,
         steps_per_epoch: Optional[int] = None,
+        segment_samples: Optional[int] = None,
     ) -> Dict[str, Any]:
         """Whole-epoch training as ONE compiled XLA program per epoch.
 
-        The TPU-native fast path for datasets that fit in HBM (synthetic
-        studies, debug runs, modest windowed sets): the full windowed dataset
-        is uploaded once, and each epoch is a single ``lax.scan`` over train
-        steps that gathers its shuffled minibatches on device — zero
-        host<->device round trips per step. Through the axon tunnel this
-        replaces ~0.5-1s of dispatch+transfer per step with pure device time
-        (measured 10x+ epoch wall-time reduction at skill-proof scale).
+        The TPU-native fast path: the windowed dataset is uploaded to HBM and
+        each epoch is a single ``lax.scan`` over train steps that gathers its
+        shuffled minibatches on device — zero host<->device round trips per
+        step. Through the axon tunnel this replaces ~0.5-1s of
+        dispatch+transfer per step with pure device time (measured 10x+ epoch
+        wall-time reduction at skill-proof scale).
+
+        ``segment_samples``: for datasets LARGER than HBM, stream the epoch
+        in fixed-size sample segments instead of uploading everything — a
+        background thread reads+uploads segment k+1 (``prefetched`` double
+        buffering, all dataset reads on one thread) while segment k's scan
+        runs on device; one compiled program serves every segment.
 
         Semantics match :meth:`fit` (same train_step body, EMA, optimizer,
         per-epoch shuffling by seed); only the batch delivery differs: exact
@@ -496,24 +502,33 @@ class Trainer:
         n = len(ds)
         if self.dm.cfg.max_train_samples is not None:
             n = min(n, self.dm.cfg.max_train_samples)
-        # materialize once on host, upload once to HBM
         first = ds[0]
         keys = [k for k in first if k != "random_timestep"]
-        host = {k: np.empty((n,) + first[k].shape, first[k].dtype) for k in keys}
-        for i in range(n):
-            s = ds[i]
-            for k in keys:
-                host[k][i] = s[k]
-        data_dev = {k: jnp.asarray(v) for k, v in host.items()}
-        del host
+
+        def read_rows(rows) -> Dict[str, np.ndarray]:
+            out = {k: np.empty((len(rows),) + first[k].shape, first[k].dtype)
+                   for k in keys}
+            for j, i in enumerate(rows):
+                s = ds[int(i)]
+                for k in keys:
+                    out[k][j] = s[k]
+            return out
+
         spe = steps_per_epoch or cfg.steps_per_epoch or max(1, n // bs)
         spe = min(spe, n // bs)
-
-        first_batch = {k: np.asarray(v[:bs]) for k, v in data_dev.items()}
+        data_dev = None
+        if segment_samples is None:
+            # materialize once on host, upload once to HBM
+            data_dev = {k: jnp.asarray(v)
+                        for k, v in read_rows(range(n)).items()}
+            first_batch = {k: np.asarray(v[:bs]) for k, v in data_dev.items()}
+        else:
+            segment_samples = max(bs, (segment_samples // bs) * bs)
+            first_batch = read_rows(range(bs))
         state = self.init_state(first_batch)
         train_step = self._make_train_step_body()
         aux_params = getattr(self.exp, "aux_params", None)
-        has_cond = "dynamical_condition" in data_dev
+        has_cond = "dynamical_condition" in keys
 
         def epoch_fn(state, data, idx, rng, aux):
             """idx: (spe, bs) int32 shuffled sample indices."""
@@ -537,22 +552,49 @@ class Trainer:
         for epoch in range(epochs):
             t0 = time.time()
             perm = np.random.default_rng(cfg.seed + epoch).permutation(n)[: spe * bs]
-            idx = jnp.asarray(perm.reshape(spe, bs), jnp.int32)
             rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
-            state, losses = epoch_jit(state, data_dev, idx, rng, aux_params)
-            losses = np.asarray(losses)
-            step += spe
+            if segment_samples is None:
+                idx = jnp.asarray(perm.reshape(spe, bs), jnp.int32)
+                state, losses = epoch_jit(state, data_dev, idx, rng, aux_params)
+                losses = np.asarray(losses)
+            else:
+                # stream the epoch in equal-size segments (drop remainder so
+                # every segment reuses ONE compiled program); the producer
+                # thread reads + device_puts segment k+1 during segment k
+                from ..data.datamodule import prefetched
+
+                n_seg = max(1, (spe * bs) // segment_samples)
+                chunks = [perm[s * segment_samples:(s + 1) * segment_samples]
+                          for s in range(n_seg)]
+
+                def produce():
+                    for ch in chunks:
+                        yield {k: jax.device_put(v)
+                               for k, v in read_rows(ch).items()}
+
+                seg_steps = segment_samples // bs
+                idx = jnp.arange(seg_steps * bs, dtype=jnp.int32).reshape(
+                    seg_steps, bs)
+                parts = []
+                for si, seg_dev in enumerate(prefetched(produce(), depth=1)):
+                    state, seg_losses = epoch_jit(
+                        state, seg_dev, idx,
+                        jax.random.fold_in(rng, si), aux_params,
+                    )
+                    parts.append(np.asarray(seg_losses))
+                losses = np.concatenate(parts)
+            step += len(losses)
             epoch_s = time.time() - t0
             mean_loss = float(losses.mean())
             history["train_loss"].append(mean_loss)
             if logger is not None:
                 logger.log({"train/epoch_loss": mean_loss,
                             "train/epoch_time_s": epoch_s,
-                            "train/steps_per_sec": spe / epoch_s,
+                            "train/steps_per_sec": len(losses) / epoch_s,
                             "epoch": epoch}, step=step)
             if verbose:
                 print(f"epoch {epoch}: train/loss={mean_loss:.5f} "
-                      f"({epoch_s:.1f}s, {spe} steps fused)")
+                      f"({epoch_s:.1f}s, {len(losses)} steps fused)")
             if (epoch + 1) % val_every == 0 and hasattr(self, "validate"):
                 val = self.validate(state)
                 history["val"].append(val)

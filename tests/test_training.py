@@ -307,3 +307,30 @@ def test_resume_restores_optimizer_state_and_step(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, atol=1e-7)
     assert any(np.abs(x).max() > 0 for x in b)  # not a fresh init
+
+
+def test_fit_in_memory_streaming_segments():
+    """segment_samples streams the epoch through double-buffered device
+    segments (datasets > HBM); same training semantics, loss decreases."""
+    from spherical_dyffusion_tpu.data import DebugDataModule
+    from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+    from spherical_dyffusion_tpu.training import (
+        ExperimentConfig,
+        InterpolationExperiment,
+        Trainer,
+        TrainerConfig,
+    )
+
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=3,
+                         batch_size=4, n_timesteps=64)
+    model = SFNO(SFNOConfig(img_shape=(8, 16), in_chans=4, out_chans=2,
+                            embed_dim=8, num_layers=1, with_time_emb=True,
+                            min_time=1, max_time=2))
+    exp = InterpolationExperiment(model, ExperimentConfig(horizon=3),
+                                  dm.in_packer, dm.out_packer, dm.normalizer)
+    tr = Trainer(exp, dm, TrainerConfig(epochs=3, lr=5e-3, use_ema=True,
+                                        warmup_steps=5, steps_per_epoch=12))
+    hist = tr.fit_in_memory(verbose=False, segment_samples=16)  # 3 segs/epoch
+    assert len(hist["train_loss"]) == 3
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert np.isfinite(hist["train_loss"][-1])
