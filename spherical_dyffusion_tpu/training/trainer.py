@@ -75,6 +75,9 @@ class TrainerConfig:
     # axis instead of replicating them — cuts optimizer memory by the DP
     # degree; XLA gathers shards around the (cheap) update op.
     zero_shard_opt_state: bool = False
+    # start a fresh optimizer on resume instead of restoring the checkpoint's
+    # (reference reset_optimizer, _base_experiment.py:1256-1259)
+    reset_optimizer: bool = False
 
 
 def chunked_vmap(fn: Callable, keys: jnp.ndarray, chunk: Optional[int] = None):
@@ -190,7 +193,8 @@ class Trainer:
         if cfg.accumulate_grad_batches > 1:
             self.tx = optax.MultiSteps(self.tx, cfg.accumulate_grad_batches)
         opt_state = self.tx.init(params.get("params", params) if isinstance(params, dict) else params)
-        if restore is not None and restore.get("opt_state") is not None:
+        if (restore is not None and restore.get("opt_state") is not None
+                and not cfg.reset_optimizer):
             # exact mid-training resume: adam moments + schedule counts
             # continue where the checkpoint left off (reference Lightning
             # ckpts restore optimizer_states the same way)
