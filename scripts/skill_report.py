@@ -139,6 +139,13 @@ def main(out_dir="results/skill"):
     with open(os.path.join(out_dir, "README.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
+    # the RMSE curves shown must come from the run the tables describe
+    import shutil
+
+    src_png = "results/skill_final/curves_rmse.png"
+    if os.path.exists(src_png):
+        shutil.copyfile(src_png, os.path.join(out_dir, "curves_rmse.png"))
+
     try:
         import matplotlib
 
