@@ -105,6 +105,9 @@ def get_experiment(
         loss_function=module_cfg.get("loss_function", "l1"),
         num_predictions=module_cfg.get("num_predictions", 10),
         enable_inference_dropout=module_cfg.get("enable_inference_dropout", False),
+        prediction_inputs_noise=float(
+            module_cfg.get("prediction_inputs_noise", 0.0) or 0.0
+        ),
     )
     C = len(dm.cfg.in_names)
     CF = len(dm.cfg.forcing_names)

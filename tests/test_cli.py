@@ -133,3 +133,21 @@ def test_run_inference_cli_from_checkpoint(ckpt, tmp_path):
     with open(os.path.join(out_dir, "metrics.json")) as f:
         logs = json.load(f)
     assert np.isfinite(logs["inference/avg/rmse"])
+
+
+def test_prediction_inputs_noise_flows_from_config():
+    """The calibration knob must reach the experiment from YAML/module config
+    (a dead knob here was a round-1 review finding for other flags)."""
+    from spherical_dyffusion_tpu.interface import get_datamodule, get_experiment
+
+    cfg = {
+        "experiment": "interpolation",
+        "module": {"prediction_inputs_noise": 0.25,
+                   "enable_inference_dropout": True},
+        "datamodule": {"kind": "debug", "channels": 2, "height": 8, "width": 16,
+                       "horizon": 3, "n_timesteps": 16},
+        "model": {"kind": "sfno", "embed_dim": 8, "num_layers": 1},
+    }
+    dm = get_datamodule(cfg)
+    exp = get_experiment(cfg, dm)
+    assert exp.cfg.prediction_inputs_noise == 0.25
