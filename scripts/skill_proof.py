@@ -336,7 +336,8 @@ def main(argv=None) -> dict:
     while done < args.rollout_steps:
         n = min(seg, args.rollout_steps - done)
         rng, sub = jax.random.split(rng)
-        x, preds = stepper.run_window(x, None, None, None, sub, n)
+        x, preds = stepper.run_window(x, None, None, None, sub, n,
+                                      apply_inputs_noise=(done == 0))
         max_abs_per_window.append(float(jnp.max(jnp.abs(preds))))
         done += n
     final_raw = out_norm.denormalize(preds[:, -1])

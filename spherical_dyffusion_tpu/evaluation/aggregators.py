@@ -44,18 +44,27 @@ class TimeMeanAggregator:
     def __init__(self, names: Sequence[str], area_weights: jax.Array):
         self.names = list(names)
         self.w = area_weights
-        self._pred_sum = None  # (E, H, W, C) when ensemble, else (H, W, C)
-        self._tgt_sum = None
+        self._pred_mean = None  # (E, H, W, C) when ensemble, else (H, W, C)
+        self._tgt_mean = None
         self._n = 0
-        # device-resident accumulation: summing on device avoids fetching the
+        # device-resident accumulation: reducing on device avoids fetching the
         # full prediction tensor to host every window (435MB/window through
         # the TPU tunnel — measured 90%+ of product-inference wall time);
-        # jitted because eager ops through the tunnel are seconds each
+        # jitted because eager ops through the tunnel are seconds each.
+        # Running MEANS (incremental Chan update, frac = T_window / n_total)
+        # rather than raw sums: over a 10-year rollout raw f32 sums of e.g.
+        # surface pressure reach ~1e9 where ulp ~128 and O(1 Pa) bias metrics
+        # drown in rounding; the running mean stays at field magnitude
+        # (reference accumulates per-window means for the same reason,
+        # time_mean.py:17-214).
         self._accum = jax.jit(
-            lambda sp, st, p, t: (sp + jnp.sum(p, axis=-4), st + jnp.sum(t, axis=0))
+            lambda pm, tm, p, t, frac: (
+                pm + (jnp.mean(p, axis=-4) - pm) * frac,
+                tm + (jnp.mean(t, axis=0) - tm) * frac,
+            )
         )
-        self._sum0 = jax.jit(
-            lambda p, t: (jnp.sum(p, axis=-4), jnp.sum(t, axis=0))
+        self._mean0 = jax.jit(
+            lambda p, t: (jnp.mean(p, axis=-4), jnp.mean(t, axis=0))
         )
 
     def record(self, preds, targets):
@@ -63,26 +72,28 @@ class TimeMeanAggregator:
         Accepts device arrays (preferred — no host round trip) or numpy."""
         preds = jnp.asarray(preds)
         targets = jnp.asarray(targets)
-        if self._pred_sum is None:
-            self._pred_sum, self._tgt_sum = self._sum0(preds, targets)
+        T = preds.shape[-4]
+        if self._pred_mean is None:
+            self._pred_mean, self._tgt_mean = self._mean0(preds, targets)
         else:
-            self._pred_sum, self._tgt_sum = self._accum(
-                self._pred_sum, self._tgt_sum, preds, targets
+            frac = jnp.float32(T / (self._n + T))
+            self._pred_mean, self._tgt_mean = self._accum(
+                self._pred_mean, self._tgt_mean, preds, targets, frac
             )
-        self._n += preds.shape[-4]
+        self._n += T
 
     def get_logs(self, label: str = "time_mean") -> Dict[str, float]:
         if self._n == 0:
             return {}
-        is_ensemble = jnp.ndim(self._pred_sum) == 4
-        members = is_ensemble and self._pred_sum.shape[0] > 1
+        is_ensemble = jnp.ndim(self._pred_mean) == 4
+        members = is_ensemble and self._pred_mean.shape[0] > 1
 
         # one jitted program for ALL final metrics (eager ops on the summed
         # maps are seconds each through the TPU tunnel)
         @jax.jit
-        def final(psum, tsum, n):
-            pred_mean = (psum / n).astype(jnp.float32)
-            tgt_mean = (tsum / n).astype(jnp.float32)
+        def final(pred_mean, tgt_mean):
+            pred_mean = pred_mean.astype(jnp.float32)
+            tgt_mean = tgt_mean.astype(jnp.float32)
             w = self.w[..., None]
             ens_mean = jnp.mean(pred_mean, axis=0) if is_ensemble else pred_mean
             out = {
@@ -96,9 +107,7 @@ class TimeMeanAggregator:
                     tgt_mean, pred_mean, w, dim=(-3, -2)), axis=0)
             return out
 
-        tables = jax.device_get(
-            final(self._pred_sum, self._tgt_sum, float(self._n))
-        )
+        tables = jax.device_get(final(self._pred_mean, self._tgt_mean))
         out = {}
         for metric, row in tables.items():
             for i, n in enumerate(self.names):
@@ -109,10 +118,10 @@ class TimeMeanAggregator:
     def maps(self):
         if self._n == 0:
             return None
-        p = self._pred_sum / self._n
+        p = self._pred_mean
         if p.ndim == 4:
             p = p.mean(axis=0)
-        return p, self._tgt_sum / self._n
+        return p, self._tgt_mean
 
 
 def _window_tables(preds, targets, w, norm_stats=None):
@@ -281,16 +290,18 @@ class InferenceAggregator:
 
         norm_stats = self.reduced._norm_stats
 
-        def fused(psum, tsum, preds, targets):
+        def fused(pmean, tmean, preds, targets, frac):
             tables = _window_tables(preds, targets, w, norm_stats)
-            psum = psum + jnp.sum(preds, axis=-4)
-            tsum = tsum + jnp.sum(targets, axis=0)
+            # running-mean update (see TimeMeanAggregator: bounded magnitudes
+            # keep f32 accumulation accurate over multi-year rollouts)
+            pmean = pmean + (jnp.mean(preds, axis=-4) - pmean) * frac
+            tmean = tmean + (jnp.mean(targets, axis=0) - tmean) * frac
             if with_zonal:
                 ens = preds.mean(axis=0) if preds.ndim == 5 else preds
                 zrows = (ens.mean(axis=-2), targets.mean(axis=-2))
             else:
                 zrows = ()
-            return psum, tsum, tables, zrows
+            return pmean, tmean, tables, zrows
 
         return jax.jit(fused)
 
@@ -309,13 +320,15 @@ class InferenceAggregator:
         tm = self.time_mean
         if getattr(self, "_fused", None) is None:
             self._fused = self._build_fused_reduce()
-        if tm._pred_sum is None:
-            tm._pred_sum = jnp.zeros(preds.shape[:1] + preds.shape[2:])
-            tm._tgt_sum = jnp.zeros(targets.shape[1:])
-        tm._pred_sum, tm._tgt_sum, tables, zrows = self._fused(
-            tm._pred_sum, tm._tgt_sum, preds, targets
+        if tm._pred_mean is None:
+            tm._pred_mean = jnp.zeros(preds.shape[:1] + preds.shape[2:])
+            tm._tgt_mean = jnp.zeros(targets.shape[1:])
+        T = preds.shape[-4]
+        frac = jnp.float32(T / (tm._n + T))
+        tm._pred_mean, tm._tgt_mean, tables, zrows = self._fused(
+            tm._pred_mean, tm._tgt_mean, preds, targets, frac
         )
-        tm._n += preds.shape[-4]
+        tm._n += T
         T = preds.shape[1]
         self.reduced._steps.extend(range(start_step, start_step + T))
         for k, v in tables.items():

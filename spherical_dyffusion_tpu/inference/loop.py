@@ -274,8 +274,10 @@ def run_inference(
             t_raw = jnp.asarray(_ic_view(data[prescribed_name]), jnp.float32)
             mu, sd = out_norm.means[ch], out_norm.stds[ch]
             tgt_rows = jnp.repeat((t_raw - mu) / sd, E, axis=0)
+            # full (B, T+1, H, W) mask frames: each emitted step is prescribed
+            # with the mask at its own time (reference data_time[mask_name])
             mask_rows = jnp.repeat(
-                jnp.asarray(_ic_view(data[mask_name])[:, 0], jnp.float32), E, axis=0
+                jnp.asarray(_ic_view(data[mask_name]), jnp.float32), E, axis=0
             )
 
         # device batch = n_ic * E rows, run in HBM-bounded chunks (reference
@@ -294,6 +296,7 @@ def run_inference(
                 tgt_rows[sl] if tgt_rows is not None else None,
                 mask_rows[sl] if mask_rows is not None else None,
                 sub, n_steps,
+                apply_inputs_noise=(start_step == 0),
             )
             new_states.append(xc)
             pred_parts.append(pc)

@@ -88,10 +88,12 @@ class DYffusionStepper:
                 lambda x: jax.device_put(x, rep), self.params
             )
         self.prescriber = prescriber or NullPrescriber()
-        # per-member gaussian input perturbation at each window start
+        # per-member gaussian input perturbation of the INITIAL condition
         # (reference prediction_inputs_noise / get_ensemble_inputs,
-        # _base_experiment.py:852-877): batch rows are ensemble members, so a
-        # fresh draw per row per window is the rollout analog
+        # _base_experiment.py:852-877: applied once when the ensemble inputs
+        # are created). Batch rows are ensemble members; the rollout driver
+        # applies it on the first window only, so the number of injections is
+        # independent of forward_steps_in_memory (a pure performance knob).
         self.inputs_noise = float(
             inputs_noise
             if inputs_noise is not None
@@ -134,6 +136,9 @@ class DYffusionStepper:
 
         def segment(params, x, forcing, tgt, mask, rng, handoff_step: int):
             # x: (B, H, W, C_in) normalized state at segment start
+            # mask: (B, H_steps, H, W) raw mask at each emitted step (the
+            # reference prescribes with the time-t mask, data_time[mask_name],
+            # stepper_multistep.py:408-409)
             out = sampler(
                 exp._interp_fn(params["interpolator"]),
                 exp._forecast_fn(params["forecaster"], deterministic=True),
@@ -146,13 +151,13 @@ class DYffusionStepper:
             preds = jnp.stack([out.preds[h] for h in range(1, H + 1)], axis=1)
             # preds: (B, H_steps, H, W, C_out) normalized
             if has_prescriber:
-                preds = prescriber(preds, tgt, mask[:, None])
+                preds = prescriber(preds, tgt, mask)
             # autoregressive hand-off (reference: ar_init if present else the
             # prediction at the hand-off step)
             if out.ar_init is not None and handoff_step == H:
                 last = out.ar_init
                 if has_prescriber:
-                    last = prescriber(last, tgt[:, -1], mask)
+                    last = prescriber(last, tgt[:, -1], mask[:, -1])
             else:
                 last = preds[:, handoff_step - 1]
             # scatter predicted channels into the state; carry the rest
@@ -162,19 +167,19 @@ class DYffusionStepper:
                 x_next = x_next.at[..., carry_idx].set(x[..., carry_idx])
             return x_next, preds
 
-        def rollout(params, x0, forcings, tgts, mask, rng):
+        def rollout(params, x0, forcings, tgts, masks, rng, noise_scale):
             """x0: (B, H, W, C_in) normalized initial state.
             forcings: (n_seg_total, B, H, W, Cf) normalized forcing at segment
                       starts (or None); n_seg_total = n_full + (r > 0).
             tgts: (n_seg_total, B, H_steps, H, W) normalized prescribed-channel
                   targets (zeros when no prescriber).
-            mask: (B, H, W) raw mask field (or zeros).
+            masks: (n_seg_total, B, H_steps, H, W) raw mask at each emitted
+                  step (reference: prescribe with the time-t mask).
+            noise_scale: traced scalar — inputs_noise on the rollout's FIRST
+                  window, 0.0 on continuation windows (no recompile between).
             Returns (final_state, preds (B, n_steps, H, W, C_out))."""
-            if self.inputs_noise > 0.0:
-                rng, nkey = jax.random.split(rng)
-                x0 = x0 + self.inputs_noise * jax.random.normal(
-                    nkey, x0.shape, x0.dtype
-                )
+            rng, nkey = jax.random.split(rng)
+            x0 = x0 + noise_scale * jax.random.normal(nkey, x0.shape, x0.dtype)
             keys = jax.random.split(rng, n_full + 1)
 
             def split_seg(arr):
@@ -184,25 +189,27 @@ class DYffusionStepper:
 
             forc_full, forc_part = split_seg(forcings)
             tgt_full, tgt_part = split_seg(tgts)
+            mask_full, mask_part = split_seg(masks)
 
             parts = []
             x = x0
             if n_full > 0:
                 def body(carry, xs):
                     x, = carry
-                    forcing, tgt, key = xs
+                    forcing, tgt, mask, key = xs
                     x_next, preds = segment(params, x, forcing, tgt, mask, key, H)
                     return (x_next,), preds
 
                 (x,), preds = jax.lax.scan(
-                    body, (x0,), (forc_full, tgt_full, keys[:n_full])
+                    body, (x0,), (forc_full, tgt_full, mask_full, keys[:n_full])
                 )
                 # (n_full, B, H_steps, ...) -> (B, n_full * H_steps, ...)
                 preds = jnp.moveaxis(preds, 0, 1)
                 B = preds.shape[0]
                 parts.append(preds.reshape((B, n_full * H) + preds.shape[3:]))
             if r > 0:
-                x, preds_p = segment(params, x, forc_part, tgt_part, mask, keys[-1], r)
+                x, preds_p = segment(params, x, forc_part, tgt_part, mask_part,
+                                     keys[-1], r)
                 parts.append(preds_p[:, :r])
             preds_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             return x, preds_all
@@ -233,12 +240,18 @@ class DYffusionStepper:
         x0_norm: jax.Array,
         window_forcing_norm: Optional[jax.Array],  # (B, T+1, H, W, Cf)
         window_prescribed_target_norm: Optional[jax.Array],  # (B, T+1, H, W)
-        mask: Optional[jax.Array],  # (B, H, W)
+        mask: Optional[jax.Array],  # (B, T+1, H, W) per-time or (B, H, W) static
         rng: jax.Array,
         n_steps: int,
+        apply_inputs_noise: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         """Convenience wrapper: slices per-segment conditioning out of the
-        window arrays and invokes the compiled rollout."""
+        window arrays and invokes the compiled rollout.
+
+        ``apply_inputs_noise``: whether this window starts a NEW rollout (the
+        initial-condition perturbation is applied) or continues one (it is
+        not). Drivers pass ``start_step == 0``; the default True keeps
+        single-window calls equivalent to a fresh rollout."""
         H = self.horizon
         n_full, r = divmod(n_steps, H)
         n_seg = n_full + (1 if r > 0 else 0)
@@ -250,25 +263,40 @@ class DYffusionStepper:
             )
         else:
             seg_f = None  # None is an empty pytree leaf for lax.scan
-        if window_prescribed_target_norm is not None:
-            # pad (edge-repeat) so the partial segment can slice H frames; the
-            # padded steps are never emitted nor used for the hand-off
-            tgt = window_prescribed_target_norm
+        def seg_frames(arr):
+            """(B, T+1, H, W) frames -> (n_seg, B, H_steps, H, W) per-segment
+            slices of frames s*H+1 .. s*H+H, edge-padded so the partial
+            segment can slice H frames (padded steps are never emitted nor
+            used for the hand-off)."""
             need = n_seg * H + 1
-            if tgt.shape[1] < need:
-                pad = jnp.repeat(tgt[:, -1:], need - tgt.shape[1], axis=1)
-                tgt = jnp.concatenate([tgt, pad], axis=1)
-            seg_t = jnp.stack(
-                [tgt[:, s * H + 1 : s * H + H + 1] for s in range(n_seg)], axis=0
+            if arr.shape[1] < need:
+                pad = jnp.repeat(arr[:, -1:], need - arr.shape[1], axis=1)
+                arr = jnp.concatenate([arr, pad], axis=1)
+            return jnp.stack(
+                [arr[:, s * H + 1 : s * H + H + 1] for s in range(n_seg)], axis=0
             )
+
+        if window_prescribed_target_norm is not None:
+            seg_t = seg_frames(window_prescribed_target_norm)
         else:
             seg_t = jnp.zeros((n_seg, B, H) + x0_norm.shape[1:3], x0_norm.dtype)
         if mask is None:
-            mask = jnp.zeros(x0_norm.shape[:3], x0_norm.dtype)
+            seg_m = jnp.zeros_like(seg_t)
+        elif mask.ndim == 4:
+            # time-varying mask frames (B, T+1, H, W): prescribe each emitted
+            # step with the mask at ITS time (reference data_time[mask_name],
+            # stepper_multistep.py:408-409)
+            seg_m = seg_frames(mask)
+        else:
+            # static mask (B, H, W): broadcast over segment steps
+            seg_m = jnp.broadcast_to(
+                mask[None, :, None], (n_seg, B, H) + mask.shape[1:3]
+            )
         if self.mesh is not None:
             x0_norm = self.shard_rows(x0_norm)
             seg_f = self.shard_rows(seg_f, axis=1)  # (n_seg, B, ...)
             seg_t = self.shard_rows(seg_t, axis=1)
-            mask = self.shard_rows(mask)
+            seg_m = self.shard_rows(seg_m, axis=1)
         fn = self.rollout_fn(n_steps)
-        return fn(self.params, x0_norm, seg_f, seg_t, mask, rng)
+        scale = jnp.float32(self.inputs_noise if apply_inputs_noise else 0.0)
+        return fn(self.params, x0_norm, seg_f, seg_t, seg_m, rng, scale)

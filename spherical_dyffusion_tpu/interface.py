@@ -36,6 +36,7 @@ __all__ = [
     "get_experiment",
     "save_experiment_checkpoint",
     "load_experiment_checkpoint",
+    "load_reference_checkpoint",
 ]
 
 
@@ -218,8 +219,14 @@ def load_experiment_checkpoint(
     'overrides:' mechanism, stepper_multistep.py:244)."""
     from .utils.config import deep_update
     from .utils.checkpointing import resolve_checkpoint_path
+    from .utils.torch_convert import is_torch_checkpoint
 
     path = resolve_checkpoint_path(path)
+    if is_torch_checkpoint(path):
+        # reference (torch Lightning) checkpoint: same call sites, same return
+        # contract — the path run_inference.py uses works unchanged on the
+        # published HuggingFace files (stepper_multistep.py:228-295 analog)
+        return load_reference_checkpoint(path, overrides=overrides)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     config = json.loads(payload["config_json"])
@@ -233,6 +240,250 @@ def load_experiment_checkpoint(
     ema = payload.get("ema_params")
     ema_params = _restore_params(exp, dm, ema) if ema else None
     return exp, params, ema_params, config
+
+
+def _init_sfno_variables(model, img_shape, in_chans):
+    """jit-init a model on zeros to obtain the full variables tree (the
+    'constants' collection holds the SHT matrices; params are then replaced by
+    the converted torch weights). Always jitted — eager init through the TPU
+    tunnel is orders of magnitude slower."""
+    x = jnp.zeros((1,) + tuple(img_shape) + (in_chans,), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    return jax.jit(lambda r: model.init(r, x, time=t))(jax.random.PRNGKey(0))
+
+
+def _merge_converted(template, converted_params):
+    out = dict(template)
+    out["params"] = serialization.from_state_dict(
+        template["params"], converted_params["params"]
+    )
+    return out
+
+
+def load_reference_checkpoint(
+    path: str,
+    overrides: Optional[Dict[str, Any]] = None,
+):
+    """Rebuild (experiment, params, ema_params, config) from a REFERENCE
+    torch Lightning checkpoint — the published HuggingFace format
+    (configs/inference/ckpts_from_huggingface_10years.yaml:19-37).
+
+    Mirrors ``MultiStepStepper.from_state`` + ``load_state``
+    (stepper_multistep.py:195-295): hyper_parameters drive the rebuild
+    (packers from datamodule_config with forcing names filtered out of the
+    in-packer, :222-226; normalizer from the data_dir_stats centering/scaling
+    files, :112-131), the module weights convert via ``sfno_torch_to_flax``,
+    and for a DYffusion checkpoint the OPERATIVE interpolator weights are the
+    ones embedded in the forecaster's own state_dict (load_state_dict
+    overwrites the preloaded interpolator, :209).
+
+    ``overrides`` deep-merge into the translated config (the reference
+    inference 'overrides:' mechanism); ``overrides['interpolator_model']``
+    additionally patches the inferred interpolator architecture, and
+    ``overrides['datamodule']['data_dir_stats']`` points at the
+    centering/scaling files. Without stats files, unit statistics are used and
+    ``config['_unit_normalization'] = True`` flags the result as
+    structurally-correct-but-unscaled (parity harness use)."""
+    import os as _os
+
+    from .data.normalization import StandardNormalizer, get_normalizer
+    from .data.packer import Packer
+    from .training.ema import EmaState  # noqa: F401 (re-exported shape)
+    from .utils.config import deep_update
+    from .utils.torch_convert import (
+        ema_backbone_state_dict,
+        infer_sfno_architecture,
+        load_lightning_checkpoint,
+        sfno_torch_to_flax,
+        split_reference_state_dict,
+        translate_reference_hparams,
+    )
+
+    sd, hparams = load_lightning_checkpoint(path)
+    config = translate_reference_hparams(hparams)
+    if overrides:
+        config = deep_update(config, dict(overrides))
+    parts = split_reference_state_dict(sd)
+
+    dm_cfg = dict(config.get("datamodule", {}))
+    in_names_all = list(dm_cfg.get("in_names", []))
+    forcing_names = list(dm_cfg.get("forcing_names", []) or [])
+    out_names = list(dm_cfg.get("out_names", []) or in_names_all)
+    # the reference stepper filters forcing names out of the state packer
+    # (init_packers, stepper_multistep.py:222-226)
+    state_names = [n for n in in_names_all if n not in forcing_names]
+    if not state_names:
+        raise ValueError(
+            "checkpoint hyper_parameters carry no usable datamodule in_names"
+        )
+    horizon = int(dm_cfg.get("horizon", 6))
+    window = int(dm_cfg.get("window", 1))
+
+    # ----------------------------------------------------------- normalizer
+    stats_dir = dm_cfg.get("data_dir_stats") or dm_cfg.get("data_dir")
+    norm_names = list(dict.fromkeys(state_names + out_names))
+    mean_p = _os.path.join(str(stats_dir), "centering.nc") if stats_dir else ""
+    if stats_dir and _os.path.exists(mean_p):
+        std_p = _os.path.join(str(stats_dir), "scaling.nc")
+        normalizer = get_normalizer(mean_p, std_p, norm_names)
+        forcing_normalizer = (
+            get_normalizer(mean_p, std_p, forcing_names)
+            if forcing_names else None
+        )
+    else:
+        normalizer = StandardNormalizer.from_dicts(
+            {n: 0.0 for n in norm_names}, {n: 1.0 for n in norm_names},
+            norm_names,
+        )
+        forcing_normalizer = (
+            StandardNormalizer.from_dicts(
+                {n: 0.0 for n in forcing_names},
+                {n: 1.0 for n in forcing_names}, forcing_names,
+            ) if forcing_names else None
+        )
+        config["_unit_normalization"] = True
+    normalizer = normalizer.subset(state_names)
+
+    # -------------------------------------------------------------- models
+    from .training import ExperimentConfig
+
+    module_cfg = dict(config.get("module", {}))
+    exp_cfg = ExperimentConfig(
+        horizon=horizon,
+        window=window,
+        loss_function=module_cfg.get("loss_function", "l1"),
+        num_predictions=int(module_cfg.get("num_predictions", 1) or 1),
+        enable_inference_dropout=bool(
+            module_cfg.get("enable_inference_dropout", False)),
+        prediction_inputs_noise=float(
+            module_cfg.get("prediction_inputs_noise", 0.0) or 0.0),
+    )
+    model_cfg = dict(config.get("model", {}))
+    model_cfg.pop("kind", None)
+
+    def build_sfno(net_sd, min_time, max_time, extra_model_cfg=None):
+        arch = infer_sfno_architecture(net_sd)
+        img_shape = (
+            tuple(np.asarray(net_sd["pos_embed"]).shape[2:4])
+            if "pos_embed" in net_sd
+            else tuple(dm_cfg.get("spatial_shape", (180, 360)))
+        )
+        cfg_kwargs = dict(model_cfg)
+        if extra_model_cfg:
+            cfg_kwargs.update(extra_model_cfg)
+        # architecture facts recovered from the weights always win over the
+        # (possibly missing) yaml-side config
+        cfg_kwargs.update({
+            k: arch[k]
+            for k in ("embed_dim", "num_layers", "encoder_layers",
+                      "operator_type", "pos_embed", "use_mlp", "mlp_ratio")
+        })
+        c = SFNOConfig(
+            img_shape=img_shape,
+            in_chans=arch["net_in_chans"],
+            out_chans=arch["net_out_chans"],
+            with_time_emb=arch["with_time_emb"],
+            min_time=min_time, max_time=max_time,
+            **_filter_kwargs_dc(SFNOConfig, cfg_kwargs),
+        )
+        model = SFNO(c)
+        template = _init_sfno_variables(model, img_shape, arch["net_in_chans"])
+        variables = _merge_converted(
+            template,
+            sfno_torch_to_flax(net_sd, arch["num_layers"],
+                               arch["encoder_layers"]),
+        )
+        return model, variables, template
+
+    if parts["kind"] == "interpolation":
+        model, variables, template = build_sfno(
+            parts["backbone"], min_time=1, max_time=max(horizon - 1, 1))
+        exp = InterpolationExperiment(
+            model, exp_cfg, Packer(state_names), Packer(out_names), normalizer
+        )
+        ema_sd = (
+            ema_backbone_state_dict(parts["backbone"], parts["ema"], "")
+            if parts["ema"] else None
+        )
+        ema_vars = (
+            _merge_converted(
+                template,
+                sfno_torch_to_flax(
+                    ema_sd,
+                    infer_sfno_architecture(parts["backbone"])["num_layers"],
+                ),
+            ) if ema_sd else None
+        )
+        config.setdefault("experiment", "interpolation")
+        return exp, variables, ema_vars, config
+
+    # ------------------------------------------------------------ dyffusion
+    interp_sd = parts["interpolator"]
+    ip_override = (overrides or {}).get("interpolator_checkpoint_path") or (
+        config.get("diffusion", {}) or {}).get("interpolator_checkpoint_path")
+    interp_hparams_model = (overrides or {}).get("interpolator_model")
+    if interp_sd is None and ip_override:
+        ip_sd_full, ip_hp = load_lightning_checkpoint(str(ip_override))
+        ip_parts = split_reference_state_dict(ip_sd_full)
+        interp_sd = ip_parts["backbone"]
+        interp_hparams_model = interp_hparams_model or dict(
+            translate_reference_hparams(ip_hp).get("model", {}))
+        if interp_hparams_model:
+            interp_hparams_model.pop("kind", None)
+    if interp_sd is None:
+        raise ValueError(
+            "DYffusion checkpoint has no embedded interpolator weights; pass "
+            "overrides={'interpolator_checkpoint_path': <ckpt>}"
+        )
+
+    dcfg = DYffusionConfig(
+        timesteps=horizon,
+        **_filter_kwargs_dc2(DYffusionConfig, config.get("diffusion", {})),
+    )
+    if dcfg.hack_for_imprecise_interpolation and (
+            not state_names or state_names[0] in out_names):
+        # the hack shims slice channel 0 as THE input-only variable
+        # (reference dyffusion.py:501-502,655-661: initial_condition[:, :1])
+        raise ValueError(
+            "hack_for_imprecise_interpolation requires the first in_name "
+            f"({state_names[0] if state_names else '?'}) to be input-only "
+            "(not in out_names)"
+        )
+    interp_model, interp_vars, _ = build_sfno(
+        interp_sd, min_time=1, max_time=max(horizon - 1, 1),
+        extra_model_cfg=interp_hparams_model,
+    )
+    interp_exp = InterpolationExperiment(
+        interp_model,
+        dataclasses.replace(exp_cfg, enable_inference_dropout=bool(
+            dcfg.enable_interpolator_dropout)),
+        Packer(state_names), Packer(out_names), normalizer,
+    )
+    from .diffusion import build_schedule as _build_schedule
+
+    tmin, tmax = _build_schedule(dcfg).forecaster_time_range
+    fc_model, fc_vars, fc_template = build_sfno(
+        parts["backbone"], min_time=tmin, max_time=tmax)
+    exp = DYffusionForecastingExperiment(
+        fc_model, interp_exp, interp_vars, dcfg, exp_cfg,
+        Packer(state_names), Packer(out_names), normalizer,
+        forcing_names=forcing_names, forcing_normalizer=forcing_normalizer,
+    )
+    ema_sd = (
+        ema_backbone_state_dict(parts["backbone"], parts["ema"], "model.")
+        if parts["ema"] else None
+    )
+    ema_vars = (
+        _merge_converted(
+            fc_template,
+            sfno_torch_to_flax(
+                ema_sd,
+                infer_sfno_architecture(parts["backbone"])["num_layers"],
+            ),
+        ) if ema_sd else None
+    )
+    config.setdefault("experiment", "dyffusion")
+    return exp, fc_vars, ema_vars, config
 
 
 def _restore_params(exp, dm, state_dict):

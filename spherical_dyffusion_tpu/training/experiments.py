@@ -126,18 +126,44 @@ class InterpolationExperiment:
         rng: jax.Array,
         dynamical_condition: Optional[jax.Array] = None,
         static_condition: Optional[jax.Array] = None,
+        random_timestep: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """``random_timestep`` (B,) comes from a sparse 'interpolation'-strategy
+        loader (reference load_series_data_multistep_interpolation): dynamics
+        then holds only [window frames, frame at t, last frame] and the target
+        time is the loader's draw, not a fresh one. Without it, dynamics must
+        be the full sequential window+horizon stack."""
         B = dynamics.shape[0]
         rng_t, rng_drop = jax.random.split(rng)
-        t = jax.random.randint(rng_t, (B,), 1, self.cfg.horizon)
-        target_time = self.cfg.window + t - 1
-        targets = dynamics[jnp.arange(B), target_time][..., self._out_idx]
+        if random_timestep is not None:
+            if dynamics.shape[1] != self.cfg.window + 2:
+                raise ValueError(
+                    "random_timestep given but dynamics has "
+                    f"{dynamics.shape[1]} frames; the sparse 'interpolation' "
+                    f"strategy emits window+2={self.cfg.window + 2}"
+                )
+            t = jnp.asarray(random_timestep, jnp.int32)
+            targets = dynamics[:, self.cfg.window][..., self._out_idx]
+            cond = (dynamical_condition[:, self.cfg.window]
+                    if dynamical_condition is not None else None)
+        else:
+            if dynamics.shape[1] != self.cfg.window + self.cfg.horizon:
+                raise ValueError(
+                    f"sequential interpolation training needs window+horizon="
+                    f"{self.cfg.window + self.cfg.horizon} frames, got "
+                    f"{dynamics.shape[1]} — a sparse-strategy loader must "
+                    "pass its random_timestep through"
+                )
+            t = jax.random.randint(rng_t, (B,), 1, self.cfg.horizon)
+            target_time = self.cfg.window + t - 1
+            targets = dynamics[jnp.arange(B), target_time][..., self._out_idx]
+            cond = self.slice_condition(dynamical_condition, target_time)
         inputs = self.get_inputs_from_dynamics(dynamics)
         preds = self.model.apply(
             params,
             inputs,
             time=t.astype(jnp.float32),
-            condition=self.slice_condition(dynamical_condition, target_time),
+            condition=cond,
             static_condition=static_condition,
             deterministic=False,
             rngs={"dropout": rng_drop},
@@ -308,7 +334,14 @@ class DYffusionForecastingExperiment:
         dynamical_condition: Optional[jax.Array] = None,
         static_condition: Optional[jax.Array] = None,
         aux_params=None,
+        random_timestep: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        if random_timestep is not None:
+            raise ValueError(
+                "DYffusion forecasting draws its own diffusion timestep; "
+                "sparse 'random'/'interpolation' loader strategies are not "
+                "supported (use 'sequential' or 'direct')"
+            )
         rng_p, rng_drop = jax.random.split(rng)
         input_dynamics = _stack_window(dynamics[:, : self.cfg.window])
         x_last = dynamics[:, -1][..., self._out_idx]
@@ -410,7 +443,14 @@ class SimultaneousForecastingExperiment:
         rng: jax.Array,
         dynamical_condition: Optional[jax.Array] = None,
         static_condition: Optional[jax.Array] = None,
+        random_timestep: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        if random_timestep is not None:
+            raise ValueError(
+                "simultaneous multi-horizon training needs sequential frames; "
+                "sparse 'random'/'interpolation' loader strategies are not "
+                "supported"
+            )
         w = self.cfg.window
         hao = self.horizon_at_once
         inputs = _stack_window(dynamics[:, :w])

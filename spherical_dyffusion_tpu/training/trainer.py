@@ -279,7 +279,8 @@ class Trainer:
 
         has_aux = getattr(exp, "aux_params", None) is not None
 
-        def train_step(state: TrainState, dynamics, dynamical_condition, rng, aux):
+        def train_step(state: TrainState, dynamics, dynamical_condition, rng, aux,
+                       random_timestep=None):
             dyn = exp.normalizer.normalize(dynamics)
             variables = state.params
             # non-trainable collections (e.g. SHT matrices in "constants") are
@@ -290,6 +291,8 @@ class Trainer:
             def loss_fn(p):
                 full = {**consts, "params": p} if consts or "params" in variables else p
                 extra = {"aux_params": aux} if has_aux else {}
+                if random_timestep is not None:
+                    extra["random_timestep"] = random_timestep
                 return exp.train_loss(
                     full, dyn, rng, dynamical_condition=dynamical_condition, **extra
                 )
@@ -346,7 +349,13 @@ class Trainer:
         rd = jnp.dtype(cfg.grad_reduce_dtype)
         has_aux = getattr(exp, "aux_params", None) is not None
 
-        def local_step(state: TrainState, dynamics, dynamical_condition, rng, aux):
+        def local_step(state: TrainState, dynamics, dynamical_condition, rng, aux,
+                       random_timestep=None):
+            # the rng enters replicated (in_specs P()); fold in the data-axis
+            # index so every shard draws independent diffusion timesteps and
+            # dropout masks (matching the pjit step's independent per-sample
+            # draws over the global batch)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS_DATA))
             dyn = exp.normalizer.normalize(dynamics)
             variables = state.params
             consts = {k: v for k, v in variables.items() if k != "params"}
@@ -355,6 +364,8 @@ class Trainer:
             def loss_fn(p):
                 full = {**consts, "params": p} if consts or "params" in variables else p
                 extra = {"aux_params": aux} if has_aux else {}
+                if random_timestep is not None:
+                    extra["random_timestep"] = random_timestep
                 return exp.train_loss(
                     full, dyn, rng, dynamical_condition=dynamical_condition, **extra
                 )
@@ -387,11 +398,19 @@ class Trainer:
         sharded = shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(_P(), _P(AXIS_DATA), _P(AXIS_DATA), _P(), _P()),
+            in_specs=(_P(), _P(AXIS_DATA), _P(AXIS_DATA), _P(), _P(),
+                      _P(AXIS_DATA)),
             out_specs=_P(),
             check_vma=False,
         )
-        return jax.jit(sharded, donate_argnums=donate)
+
+        # keep the 5-argument call signature working (random_timestep optional)
+        def step(state, dynamics, dynamical_condition, rng, aux,
+                 random_timestep=None):
+            return sharded(state, dynamics, dynamical_condition, rng, aux,
+                           random_timestep)
+
+        return jax.jit(step, donate_argnums=donate)
 
     # ------------------------------------------------------------------- fit
     def fit(
@@ -420,7 +439,12 @@ class Trainer:
                 dyn = shard_batch(self.mesh, batch["dynamics"])
                 cond = batch.get("dynamical_condition")
                 cond = shard_batch(self.mesh, cond) if cond is not None else None
-                state, metrics = train_step(state, dyn, cond, sub, aux_params)
+                # sparse-strategy loaders ('interpolation') pass their drawn
+                # timestep through so the experiment trains on the frames the
+                # loader actually read (never silently re-drawn)
+                rt = batch.get("random_timestep")
+                rt = shard_batch(self.mesh, np.asarray(rt, np.int32)) if rt is not None else None
+                state, metrics = train_step(state, dyn, cond, sub, aux_params, rt)
                 # fetch to host immediately: eager ops over multi-device arrays
                 # can deadlock XLA-CPU collectives on the virtual test mesh
                 losses.append(float(metrics["loss"]))
@@ -507,7 +531,7 @@ class Trainer:
         if self.dm.cfg.max_train_samples is not None:
             n = min(n, self.dm.cfg.max_train_samples)
         first = ds[0]
-        keys = [k for k in first if k != "random_timestep"]
+        keys = list(first)
 
         def read_rows(rows) -> Dict[str, np.ndarray]:
             out = {k: np.empty((len(rows),) + first[k].shape, first[k].dtype)
@@ -528,11 +552,16 @@ class Trainer:
             first_batch = {k: np.asarray(v[:bs]) for k, v in data_dev.items()}
         else:
             segment_samples = max(bs, (segment_samples // bs) * bs)
+            # never exceed the epoch's sample count: a short final chunk with
+            # a full-size idx would make jnp.take clamp out-of-range indices
+            # and silently train on duplicated samples
+            segment_samples = min(segment_samples, spe * bs)
             first_batch = read_rows(range(bs))
         state = self.init_state(first_batch)
         train_step = self._make_train_step_body()
         aux_params = getattr(self.exp, "aux_params", None)
         has_cond = "dynamical_condition" in keys
+        has_rt = "random_timestep" in keys
 
         def epoch_fn(state, data, idx, rng, aux):
             """idx: (spe, bs) int32 shuffled sample indices."""
@@ -544,7 +573,9 @@ class Trainer:
                 dyn = jnp.take(data["dynamics"], batch_idx, axis=0)
                 cond = (jnp.take(data["dynamical_condition"], batch_idx, axis=0)
                         if has_cond else None)
-                st, metrics = train_step(st, dyn, cond, sub, aux)
+                rt = (jnp.take(data["random_timestep"], batch_idx, axis=0)
+                      if has_rt else None)
+                st, metrics = train_step(st, dyn, cond, sub, aux, rt)
                 return (st, key), metrics["loss"]
 
             (state, _), losses = jax.lax.scan(body, (state, rng), idx)

@@ -31,6 +31,10 @@ __all__ = [
     "load_lightning_checkpoint",
     "translate_reference_hparams",
     "strip_prefix",
+    "is_torch_checkpoint",
+    "split_reference_state_dict",
+    "ema_backbone_state_dict",
+    "infer_sfno_architecture",
 ]
 
 
@@ -166,6 +170,121 @@ def sfno_flax_to_torch(params: Dict[str, Any], encoder_layers: int = 1,
     return sd
 
 
+def is_torch_checkpoint(path: str) -> bool:
+    """Detect a torch-saved file (zip-format 'PK' magic or legacy pickle
+    protocol marker) vs our msgpack checkpoints."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    return head == b"PK" or head[:1] == b"\x80"
+
+
+def split_reference_state_dict(
+    sd: Dict[str, np.ndarray],
+) -> Dict[str, Optional[Dict[str, np.ndarray]]]:
+    """Split a reference Lightning experiment state_dict into its nets.
+
+    The reference experiment tree (``_base_experiment.py:124``,
+    ``instantiate_model`` :263-297):
+
+    * interpolation ckpt: ``model.<sfno>`` (experiment.model = the backbone);
+    * DYffusion forecaster ckpt: ``model.model.<sfno>`` (backbone inside the
+      diffusion wrapper) + ``model.interpolator.model.<sfno>`` (the frozen
+      interpolator embedded by ``DYffusion.__init__``, dyffusion.py:621-630 —
+      these embedded weights are the OPERATIVE interpolator, since
+      ``load_state_dict`` overwrites whatever was pre-loaded);
+    * optional ``model_ema.*`` LitEma shadow buffers (``models/modules/
+      ema.py:20-28``, '.'-flattened parameter names).
+
+    Returns {"kind", "backbone", "interpolator", "ema"}.
+    """
+    ema = {k[len("model_ema."):]: v for k, v in sd.items()
+           if k.startswith("model_ema.")}
+    if any(k.startswith("model.model.") for k in sd):
+        return {
+            "kind": "dyffusion",
+            "backbone": strip_prefix(sd, "model.model."),
+            "interpolator": (
+                strip_prefix(sd, "model.interpolator.model.")
+                if any(k.startswith("model.interpolator.model.") for k in sd)
+                else None
+            ),
+            "ema": ema or None,
+        }
+    return {
+        "kind": "interpolation",
+        "backbone": {
+            k[len("model."):]: v for k, v in sd.items()
+            if k.startswith("model.") and not k.startswith("model_ema.")
+        },
+        "interpolator": None,
+        "ema": ema or None,
+    }
+
+
+def ema_backbone_state_dict(
+    backbone_sd: Dict[str, np.ndarray],
+    ema_raw: Dict[str, np.ndarray],
+    handle_prefix: str = "",
+) -> Optional[Dict[str, np.ndarray]]:
+    """Reconstruct a torch-format state_dict of the EMA weights.
+
+    LitEma registers one buffer per trainable parameter of
+    ``model_handle_for_ema`` (the experiment's ``self.model``), named by the
+    parameter path with '.' removed (ema.py:20-28). For a DYffusion
+    experiment the backbone lives at ``model.`` within the handle
+    (``handle_prefix='model.'``); the frozen interpolator has
+    ``requires_grad=False`` and is absent from the EMA. Returns None if no
+    shadow matches (e.g. ckpt saved with use_ema=False)."""
+    out: Dict[str, np.ndarray] = {}
+    for k in backbone_sd:
+        shadow = (handle_prefix + k).replace(".", "")
+        if shadow in ema_raw:
+            out[k] = ema_raw[shadow]
+    return out or None
+
+
+def infer_sfno_architecture(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Infer the SFNO constructor facts recoverable from a bare state_dict
+    (used to rebuild the embedded interpolator when its config yaml is not
+    provided): embed_dim, num_layers, operator_type, pos_embed,
+    with_time_emb, use_mlp, mlp_ratio, encoder_layers, and the in/out channel
+    counts of the network."""
+    num_layers = 0
+    while f"blocks.{num_layers}.norm0.weight" in sd:
+        num_layers += 1
+    if num_layers == 0:
+        raise ValueError("state_dict holds no SFNO blocks")
+    # encoder is Sequential(conv, act, conv, act, ..., conv): final conv has
+    # no bias; encoder_layers = number of (conv, act) pairs
+    encoder_layers = 0
+    while f"encoder.{2 * encoder_layers}.bias" in sd:
+        encoder_layers += 1
+    embed_dim = int(np.asarray(sd[f"encoder.{2 * encoder_layers}.weight"]).shape[0])
+    in_chans_total = int(np.asarray(sd["encoder.0.weight"]).shape[1])
+    out_chans = int(
+        np.asarray(sd[f"decoder.{2 * encoder_layers}.weight"]).shape[0]
+    )
+    w = np.asarray(sd["blocks.0.filter.filter.weight"])
+    operator_type = "dhconv" if w.ndim == 4 else "diagonal"
+    use_mlp = "blocks.0.mlp.fwd.0.weight" in sd
+    mlp_ratio = (
+        float(np.asarray(sd["blocks.0.mlp.fwd.0.weight"]).shape[0]) / embed_dim
+        if use_mlp else 2.0
+    )
+    return {
+        "embed_dim": embed_dim,
+        "num_layers": num_layers,
+        "encoder_layers": encoder_layers,
+        "operator_type": operator_type,
+        "pos_embed": "pos_embed" in sd,
+        "with_time_emb": "time_emb_mlp.1.weight" in sd,
+        "use_mlp": use_mlp,
+        "mlp_ratio": mlp_ratio,
+        "net_in_chans": in_chans_total,
+        "net_out_chans": out_chans,
+    }
+
+
 def load_lightning_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
     """torch.load a Lightning checkpoint on CPU; returns (state_dict as numpy,
     hyper_parameters)."""
@@ -204,12 +323,26 @@ def translate_reference_hparams(hparams: Dict[str, Any]) -> Dict[str, Any]:
 
     diff_cfg = dict(hparams.get("diffusion_config", {}) or {})
     dtar = str(diff_cfg.pop("_target_", ""))
-    if diff_cfg:
-        out["diffusion"] = diff_cfg
+    if diff_cfg or "dyffusion" in dtar.lower():
+        # keep only keys our DYffusionConfig understands; the interpolator_*
+        # loading knobs are a torch-side concern (the operative interpolator
+        # weights are embedded in the forecaster state_dict,
+        # split_reference_state_dict)
+        drop = {k for k in diff_cfg
+                if k.startswith("interpolator_") or k in (
+                    "log_every_t", "loss_function", "timesteps")}
+        out["diffusion"] = {k: v for k, v in diff_cfg.items() if k not in drop}
+        if "loss_function" in diff_cfg:
+            out.setdefault("module", {})["loss_function"] = diff_cfg["loss_function"]
         out["experiment"] = "dyffusion"
     else:
         out["experiment"] = "interpolation"
-    for key in ("num_predictions", "enable_inference_dropout"):
+    for key in ("num_predictions", "enable_inference_dropout", "use_ema",
+                "prediction_inputs_noise", "stack_window_to_channel_dim",
+                "num_predictions_in_memory"):
         if key in hparams:
             out.setdefault("module", {})[key] = hparams[key]
+    if "loss_function" in model_cfg:
+        out.setdefault("module", {}).setdefault(
+            "loss_function", model_cfg["loss_function"])
     return out

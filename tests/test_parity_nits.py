@@ -261,3 +261,124 @@ def test_normed_metric_variants():
                                series["rmse"][:, 0] / 4.0, rtol=1e-5)
     np.testing.assert_allclose(series["rmse_normed"][:, 1],
                                series["rmse"][:, 1] / 0.5, rtol=1e-5)
+
+
+def test_time_mean_running_mean_matches_exact_and_stays_bounded():
+    """Round-3 fix: the time-mean aggregator accumulates running MEANS (Chan
+    update) instead of raw f32 sums, so large-magnitude fields over long
+    rollouts don't drown O(1) bias metrics in rounding error."""
+    import jax.numpy as jnp
+
+    from spherical_dyffusion_tpu.evaluation.aggregators import TimeMeanAggregator
+
+    rng = np.random.default_rng(7)
+    H, W, C = 4, 8, 1
+    w = jnp.ones((H, W))
+    # surface-pressure-like magnitude with a tiny known bias
+    base = 1.0e5
+    bias = 2.0  # Pa
+    agg = TimeMeanAggregator(["ps"], w)
+    exact_p, exact_t, n = 0.0, 0.0, 0
+    for k in range(40):  # uneven window lengths
+        T = 3 if k % 2 else 5
+        t = base + rng.standard_normal((T, H, W, C)).astype(np.float32)
+        p = t + bias
+        agg.record(p, t)
+        exact_p += np.float64(p).sum(0)
+        exact_t += np.float64(t).sum(0)
+        n += T
+    logs = agg.get_logs("tm")
+    # the running mean recovers the small bias to <2% despite |field| ~ 1e5
+    # (raw f32 sums reach ~1.6e7 here; at 1e4+ steps they'd reach ~1e9
+    # where ulp ~ 128 and the bias would be unrecoverable)
+    assert abs(logs["tm/bias/ps"] - bias) < 0.05 * bias
+    # and it matches the exact f64 mean closely
+    np.testing.assert_allclose(
+        np.asarray(agg.maps[0]), (exact_p / n), rtol=1e-6)
+
+
+def test_sparse_interpolation_strategy_trains_on_loader_frames():
+    """Round-3 fix: the sparse 'interpolation' loader's random_timestep is
+    consumed by InterpolationExperiment.train_loss (previously silently
+    ignored, training on clamped out-of-bounds frames)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spherical_dyffusion_tpu.data.datasets import (
+        SyntheticTimeSeries,
+        WindowedDataset,
+    )
+    from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+    from spherical_dyffusion_tpu.training import (
+        ExperimentConfig,
+        InterpolationExperiment,
+    )
+    from spherical_dyffusion_tpu.data.normalization import StandardNormalizer
+    from spherical_dyffusion_tpu.data.packer import Packer
+
+    names = ["v0", "v1"]
+    src = SyntheticTimeSeries(names, n_timesteps=30, spatial_shape=(8, 16), seed=0)
+    horizon = 4
+    sparse = WindowedDataset(src, names, horizon=horizon, window=1,
+                             strategy="interpolation", seed=3)
+    packer = Packer(names)
+    norm = StandardNormalizer.from_dicts({n: 0.0 for n in names},
+                                         {n: 1.0 for n in names}, names)
+    exp = InterpolationExperiment(
+        SFNO(SFNOConfig(img_shape=(8, 16), in_chans=4, out_chans=2,
+                        embed_dim=8, num_layers=1, with_time_emb=True,
+                        min_time=1, max_time=horizon - 1)),
+        ExperimentConfig(horizon=horizon), packer, packer, norm)
+    s0, s1 = sparse[0], sparse[1]
+    dyn = jnp.asarray(np.stack([s0["dynamics"], s1["dynamics"]]))
+    rt = jnp.asarray([s0["random_timestep"], s1["random_timestep"]], jnp.int32)
+    params = jax.jit(
+        lambda r: exp.model.init(
+            r, exp.get_inputs_from_dynamics(dyn),
+            time=jnp.ones((2,), jnp.float32))
+    )(jax.random.PRNGKey(0))
+    loss, m = jax.jit(
+        lambda p, d, r, t: exp.train_loss(p, d, r, random_timestep=t)
+    )(params, dyn, jax.random.PRNGKey(1), rt)
+    assert np.isfinite(float(loss))
+    # shape mismatch fails loudly instead of clamping out-of-bounds
+    with pytest.raises(ValueError, match="sparse"):
+        exp.train_loss(params, dyn, jax.random.PRNGKey(1))  # no rt, 3 frames
+    full = jnp.asarray(np.zeros((2, 1 + horizon, 8, 16, 2), np.float32))
+    with pytest.raises(ValueError, match="random_timestep"):
+        exp.train_loss(params, full, jax.random.PRNGKey(1),
+                       random_timestep=jnp.ones((2,), jnp.int32))
+
+
+def test_forecasting_experiments_reject_sparse_strategies():
+    import jax.numpy as jnp
+    import jax
+
+    dm, fexp, fc = _tiny_dyffusion_exp()
+    dyn = jnp.zeros((2, 3, 8, 16, 2))
+    with pytest.raises(ValueError, match="sparse"):
+        fexp.train_loss(fc, dyn, jax.random.PRNGKey(0),
+                        random_timestep=jnp.ones((2,), jnp.int32))
+
+
+def test_inputs_noise_applied_once_per_rollout_not_per_window():
+    """Round-3 fix (advisor): prediction_inputs_noise is an initial-condition
+    perturbation; continuation windows must NOT re-inject it, so ensemble
+    spread is independent of forward_steps_in_memory."""
+    import jax
+    import jax.numpy as jnp
+
+    from spherical_dyffusion_tpu.inference import DYffusionStepper
+
+    dm, fexp, fc = _tiny_dyffusion_exp()
+    x0 = jnp.zeros((2, 8, 16, 2))
+    stepper = DYffusionStepper(fexp, fc, inputs_noise=0.3)
+    rng = jax.random.PRNGKey(5)
+    # continuation window with identical rows: no injection -> rows identical
+    _, preds = stepper.run_window(x0, None, None, None, rng, 3,
+                                  apply_inputs_noise=False)
+    np.testing.assert_array_equal(np.asarray(preds[0]), np.asarray(preds[1]))
+    # first window: injection -> rows diverge
+    _, preds1 = stepper.run_window(x0, None, None, None, rng, 3,
+                                   apply_inputs_noise=True)
+    assert float(jnp.max(jnp.abs(preds1[0] - preds1[1]))) > 0.0

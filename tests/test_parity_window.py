@@ -1,0 +1,131 @@
+"""Round-3 full-window checkpoint parity harness tests.
+
+Covers the chain the released HuggingFace checkpoints will flow through:
+reference-format torch Lightning ckpt pair (fabricated with real torch.save,
+hyper_parameters composed from the reference's on-disk configs, LitEma shadow
+naming) -> load_experiment_checkpoint's torch dispatch -> jitted
+DYffusionStepper window vs the independent float64 numpy window oracle
+(interpolator + forecaster cold sampling + prescriber + hack channel order +
+autoregressive hand-off)."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+
+
+def _load_parity_check():
+    spec = importlib.util.spec_from_file_location(
+        "parity_check", os.path.join(_SCRIPTS, "parity_check.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def fabricated(tmp_path_factory):
+    if not os.path.isdir(os.environ.get(
+            "REFERENCE_CONFIG_DIR", "/root/reference/src/configs")):
+        pytest.skip("reference configs not available")
+    pc = _load_parity_check()
+    out = str(tmp_path_factory.mktemp("ref_ckpts"))
+    facts = pc.fabricate_checkpoints(
+        out, embed_dim=8, num_layers=1, horizon=3, img_shape=(8, 16),
+        n_state_extra=2,
+    )
+    return pc, facts
+
+
+def test_full_window_parity_on_synthetic_reference_ckpts(fabricated):
+    pc, facts = fabricated
+    # 7 steps = 2 full segments + 1 partial: exercises the scan body, the
+    # autoregressive hand-off, HGTsfc carry, prescriber with time-varying
+    # masks, and the trailing partial segment
+    report = pc.run_window_parity_check(
+        facts["forecaster"], stats_dir=facts["stats"], n_steps=7, tol=1e-4,
+        verbose=False,
+    )
+    assert report["max_abs_diff"] <= 1e-4
+    assert len(report["per_step_max_abs_diff"]) == 7
+
+
+def test_reference_ckpt_load_path_structure(fabricated):
+    """The torch ckpt flows through load_experiment_checkpoint itself (the
+    run_inference.py path), producing a DYffusion experiment with
+    hparams-rebuilt packers, stats-file normalizer, and LitEma-converted EMA
+    params shifted by the fabricated epsilon."""
+    import jax
+
+    from spherical_dyffusion_tpu.interface import load_experiment_checkpoint
+
+    pc, facts = fabricated
+    exp, params, ema_params, config = load_experiment_checkpoint(
+        facts["forecaster"],
+        overrides={"datamodule": {"data_dir_stats": facts["stats"]},
+                   "diffusion": {"enable_interpolator_dropout": False}},
+    )
+    assert list(exp.in_packer.names) == facts["state_names"]
+    assert list(exp.out_packer.names) == facts["out_names"]
+    assert list(exp.forcing_names) == facts["forcing_names"]
+    assert exp.cfg.horizon == facts["horizon"]
+    # stats-file normalizer (not unit fallback)
+    assert "_unit_normalization" not in config
+    assert float(np.asarray(exp.normalizer.stds)[0]) != 1.0
+    # embedded interpolator weights were extracted
+    assert exp.interpolator_params is not None
+    # EMA shadows (live + 1e-3) converted through the same mapping
+    assert ema_params is not None
+    leaf = jax.tree_util.tree_leaves(params["params"])[0]
+    leaf_ema = jax.tree_util.tree_leaves(ema_params["params"])[0]
+    np.testing.assert_allclose(
+        np.asarray(leaf_ema) - np.asarray(leaf), 1e-3, rtol=1e-4
+    )
+    # diffusion config carries the hack flag from the reference yaml compose
+    assert exp.diffusion_cfg.hack_for_imprecise_interpolation
+
+
+def test_interpolator_only_ckpt_loads_as_interpolation_experiment(fabricated):
+    from spherical_dyffusion_tpu.interface import load_experiment_checkpoint
+    from spherical_dyffusion_tpu.training import InterpolationExperiment
+
+    pc, facts = fabricated
+    exp, params, ema, config = load_experiment_checkpoint(
+        facts["interpolator"],
+        overrides={"datamodule": {"data_dir_stats": facts["stats"]}},
+    )
+    assert isinstance(exp, InterpolationExperiment)
+    assert config["experiment"] == "interpolation"
+    assert params is not None
+
+
+def test_forecaster_ckpt_without_embedded_interpolator_uses_sidecar(fabricated):
+    """When a forecaster ckpt lacks embedded interpolator weights, the
+    documented override points at a standalone interpolator ckpt."""
+    import torch
+
+    from spherical_dyffusion_tpu.interface import load_experiment_checkpoint
+
+    pc, facts = fabricated
+    ck = torch.load(facts["forecaster"], map_location="cpu",
+                    weights_only=False)
+    sd = {k: v for k, v in ck["state_dict"].items()
+          if not k.startswith("model.interpolator.")}
+    stripped = facts["forecaster"] + ".nointerp"
+    torch.save({"state_dict": sd, "hyper_parameters": ck["hyper_parameters"]},
+               stripped)
+    with pytest.raises(ValueError, match="interpolator"):
+        load_experiment_checkpoint(
+            stripped,
+            overrides={"datamodule": {"data_dir_stats": facts["stats"]}},
+        )
+    exp, params, _, _ = load_experiment_checkpoint(
+        stripped,
+        overrides={"datamodule": {"data_dir_stats": facts["stats"]},
+                   "interpolator_checkpoint_path": facts["interpolator"]},
+    )
+    assert exp.interpolator_params is not None
