@@ -21,6 +21,10 @@ import time
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+# BENCH_PLATFORM=cpu for smoke runs off the TPU (env JAX_PLATFORMS is baked
+# by sitecustomize; only the config update works)
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
 import jax.numpy as jnp
 import numpy as np
@@ -158,6 +162,154 @@ def product_bench(stepper, src, window, total_steps, n_ensemble, embed, layers):
     }))
 
 
+def train_bench(embed, layers, window):
+    """BENCH_TRAIN=1: paper-scale TRAINING step timings (reference logs
+    per-step train time, _base_experiment.py:746,770-778).
+
+    Times three things on the real chip, all jitted with buffer donation:
+    1. the interpolator train step (fwd+bwd+adamw+EMA),
+    2. the DYffusion forecaster train step (interpolator forward inside the
+       loss + forecaster fwd+bwd+adamw+EMA),
+    3. one fused whole-epoch lax.scan segment (fit_in_memory's program).
+    """
+    from spherical_dyffusion_tpu.data import DebugDataModule
+    from spherical_dyffusion_tpu.training import Trainer, TrainerConfig
+
+    H, W, horizon = 180, 360, 6
+    C, CF = 35, 2
+    bs = int(os.environ.get("BENCH_TRAIN_BATCH", 1))
+    dm = DebugDataModule(channels=C, height=H, width=W, horizon=horizon,
+                         n_forcing=CF, batch_size=bs,
+                         n_timesteps=horizon + 18)
+    icfg = ExperimentConfig(horizon=horizon, window=1,
+                            enable_inference_dropout=True)
+    imodel = SFNO(SFNOConfig(
+        img_shape=(H, W), in_chans=2 * C + CF, out_chans=C, embed_dim=embed,
+        num_layers=layers, operator_type="dhconv", with_time_emb=True,
+        dropout_mlp=0.1, min_time=1, max_time=horizon - 1,
+    ))
+    interp = InterpolationExperiment(imodel, icfg, dm.in_packer,
+                                     dm.out_packer, dm.normalizer)
+    batch = next(iter(dm.train_batches(seed=0)))
+    results = {}
+
+    def time_steps(tr, exp, label, n=8):
+        state = tr.init_state(batch)
+        step = tr._make_train_step()
+        dyn = jnp.asarray(batch["dynamics"])
+        cond = batch.get("dynamical_condition")
+        cond = jnp.asarray(cond) if cond is not None else None
+        aux = getattr(exp, "aux_params", None)
+        t0 = time.time()
+        state, m = step(state, dyn, cond, jax.random.PRNGKey(0), aux)
+        jax.block_until_ready(m["loss"])
+        results[f"{label}_compile_s"] = round(time.time() - t0, 1)
+        times = []
+        for i in range(n):
+            t0 = time.time()
+            state, m = step(state, dyn, cond, jax.random.PRNGKey(i + 1), aux)
+            jax.block_until_ready(m["loss"])
+            times.append(time.time() - t0)
+        results[f"{label}_step_ms"] = round(float(np.median(times)) * 1e3, 1)
+        return state
+
+    tr_i = Trainer(interp, dm, TrainerConfig(epochs=1, steps_per_epoch=8,
+                                             donate_state=True))
+    st_i = time_steps(tr_i, interp, "interpolator")
+
+    dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
+                           time_encoding="dynamics")
+    fmodel = SFNO(SFNOConfig(
+        img_shape=(H, W), in_chans=C + CF, out_chans=C, embed_dim=embed,
+        num_layers=layers, operator_type="dhconv", with_time_emb=True,
+        min_time=0, max_time=horizon - 1,
+    ))
+    fexp = DYffusionForecastingExperiment(
+        fmodel, interp, jax.device_get(st_i.params), dcfg,
+        ExperimentConfig(horizon=horizon), dm.in_packer, dm.out_packer,
+        dm.normalizer, forcing_names=dm.cfg.forcing_names,
+        forcing_normalizer=dm.forcing_normalizer,
+    )
+    tr_f = Trainer(fexp, dm, TrainerConfig(epochs=1, steps_per_epoch=8,
+                                           donate_state=True))
+    time_steps(tr_f, fexp, "forecaster")
+
+    # fused whole-epoch segment (the fit_in_memory program)
+    n_fused = int(os.environ.get("BENCH_TRAIN_FUSED_STEPS", 8))
+    tr_fused = Trainer(interp, dm, TrainerConfig(
+        epochs=1, steps_per_epoch=n_fused, donate_state=False))
+    t0 = time.time()
+    tr_fused.fit_in_memory(epochs=1, val_every=100, verbose=False)
+    fused_s = time.time() - t0
+    results["fused_epoch_steps"] = n_fused
+    results["fused_epoch_s_incl_compile"] = round(fused_s, 1)
+
+    step_ms = results["forecaster_step_ms"]
+    print(json.dumps({
+        "metric": "train_step_time_ms",
+        "value": step_ms,
+        "unit": f"ms/step (DYffusion forecaster fwd+bwd+adamw+EMA, "
+                f"embed{embed}x{layers}@{H}x{W} batch {bs}, donation on; "
+                f"all timings: {results})",
+        "vs_baseline": None,
+    }))
+
+
+def mesh_bench(embed, layers, window, total_steps, n_ensemble):
+    """BENCH_MESH=1: multi-chip inference bench — ready to run the day more
+    than one real chip is attached. Builds a data(xh xw) mesh over all
+    devices, shards the IC x ensemble rows over 'data' (optionally the grid
+    over h/w via BENCH_MESH_H/BENCH_MESH_W), and times sharded windows."""
+    n_dev = len(jax.devices())
+    h_ax = int(os.environ.get("BENCH_MESH_H", 1))
+    w_ax = int(os.environ.get("BENCH_MESH_W", 1))
+    data_ax = max(1, n_dev // (h_ax * w_ax))
+    if n_dev == 1:
+        print(json.dumps({
+            "metric": "simulated_years_per_day", "value": 0.0,
+            "unit": "BENCH_MESH needs >1 real device; found 1 "
+                    "(use the virtual-CPU dryrun for sharding validation)",
+            "vs_baseline": 0.0,
+        }))
+        return
+    from spherical_dyffusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=data_ax, h=h_ax, w=w_ax,
+                     devices=jax.devices()[: data_ax * h_ax * w_ax])
+    stepper, in_names, forcing_names = build(embed, layers)
+    # rebuild with the mesh so params get replicated placement up front
+    stepper = DYffusionStepper(
+        stepper.exp, stepper.params["forecaster"],
+        prescriber=stepper.prescriber, mesh=mesh,
+    )
+    B = max(n_ensemble, data_ax)  # at least one row per data shard
+    x = jnp.zeros((B, 180, 360, 35), jnp.float32)
+    x = stepper.shard_rows(x)
+    t0 = time.time()
+    x, _ = stepper.run_window(x, None, None, None, jax.random.PRNGKey(0),
+                              window)
+    jax.block_until_ready(x)
+    compile_s = time.time() - t0
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        x, _ = stepper.run_window(x, None, None, None,
+                                  jax.random.PRNGKey(i + 1), window)
+        jax.block_until_ready(x)
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    sps = window * B / med
+    sim_years_per_day = sps * 86400.0 / STEPS_PER_SIM_YEAR
+    print(json.dumps({
+        "metric": "simulated_years_per_day",
+        "value": round(sim_years_per_day, 3),
+        "unit": f"sim-years/day (MESH bench: {dict(mesh.shape)}, {B} rows "
+                f"sharded over data={data_ax}, window {window}, "
+                f"embed{embed}x{layers}; compile {compile_s:.0f}s)",
+        "vs_baseline": round(sim_years_per_day / BASELINE_SIM_YEARS_PER_DAY, 3),
+    }))
+
+
 def main():
     embed = int(os.environ.get("BENCH_EMBED", 256))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
@@ -170,6 +322,11 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     fold = os.environ.get("BENCH_FOLD", "0") == "1"
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+
+    if os.environ.get("BENCH_TRAIN", "0") == "1":
+        return train_bench(embed, layers, window)
+    if os.environ.get("BENCH_MESH", "0") == "1":
+        return mesh_bench(embed, layers, window, total_steps, n_ensemble)
 
     stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas)
     names = in_names + forcing_names + ["ocean_fraction"]

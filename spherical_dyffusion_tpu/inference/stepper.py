@@ -230,6 +230,11 @@ class DYffusionStepper:
             return x
         from jax.sharding import NamedSharding, PartitionSpec
 
+        dp = self.mesh.shape.get("data", 1)
+        if dp <= 1 or x.shape[axis] % dp != 0:
+            # fewer rows than the data axis (e.g. single-IC rollout
+            # validation): replicate instead of sharding
+            return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec()))
         spec = [None] * x.ndim
         spec[axis] = "data"
         return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec(*spec)))

@@ -90,6 +90,10 @@ class SFNOConfig:
     # SHT/contraction matmul input dtype: float32 is reference-faithful;
     # bfloat16 gives ~8x MXU throughput with fp32 accumulation
     sht_matmul_dtype: str = "float32"
+    # longitude stage of the SHT: "matmul" (explicit DFT on the MXU, ~2x
+    # faster than XLA's TPU FFT lowering at climate grids) or "fft" (jnp.fft
+    # — preferable on CPU where the DFT matmul is the FLOP hot spot)
+    lon_method: str = "matmul"
     # even/odd latitude symmetry folding in the Legendre stage (2x fewer FLOPs)
     sht_fold_symmetry: bool = False
     # route dense dhconv contractions through the fused Pallas kernel
@@ -130,10 +134,15 @@ def _build_transforms(cfg: SFNOConfig):
         import dataclasses as _dc
 
         md = cfg.sht_matmul_dtype
-        trans_down = RealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid, matmul_dtype=md)
-        itrans_up = InverseRealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid, matmul_dtype=md)
-        trans = RealSHT.create(h, w, lmax, mmax, grid="legendre-gauss", matmul_dtype=md)
-        itrans = InverseRealSHT.create(h, w, lmax, mmax, grid="legendre-gauss", matmul_dtype=md)
+        lm = cfg.lon_method
+        trans_down = RealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid,
+                                    matmul_dtype=md, lon_method=lm)
+        itrans_up = InverseRealSHT.create(H, W, lmax, mmax, grid=cfg.data_grid,
+                                          matmul_dtype=md, lon_method=lm)
+        trans = RealSHT.create(h, w, lmax, mmax, grid="legendre-gauss",
+                               matmul_dtype=md, lon_method=lm)
+        itrans = InverseRealSHT.create(h, w, lmax, mmax, grid="legendre-gauss",
+                                       matmul_dtype=md, lon_method=lm)
         if cfg.sht_fold_symmetry:
             trans_down = _dc.replace(trans_down, fold_symmetry=True)
             itrans_up = _dc.replace(itrans_up, fold_symmetry=True)

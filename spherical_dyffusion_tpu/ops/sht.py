@@ -132,10 +132,11 @@ class RealSHT:
 
     @staticmethod
     def create(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None,
-               grid: str = "equiangular", matmul_dtype: str = "float32") -> "RealSHT":
+               grid: str = "equiangular", matmul_dtype: str = "float32",
+               lon_method: str = "matmul") -> "RealSHT":
         lmax = lmax if lmax is not None else nlat
         mmax = mmax if mmax is not None else nlon // 2 + 1
-        return RealSHT(nlat, nlon, lmax, mmax, grid, matmul_dtype)
+        return RealSHT(nlat, nlon, lmax, mmax, grid, matmul_dtype, lon_method)
 
     @property
     def matrix(self) -> jax.Array:
@@ -204,10 +205,11 @@ class InverseRealSHT:
 
     @staticmethod
     def create(nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None,
-               grid: str = "equiangular", matmul_dtype: str = "float32") -> "InverseRealSHT":
+               grid: str = "equiangular", matmul_dtype: str = "float32",
+               lon_method: str = "matmul") -> "InverseRealSHT":
         lmax = lmax if lmax is not None else nlat
         mmax = mmax if mmax is not None else nlon // 2 + 1
-        return InverseRealSHT(nlat, nlon, lmax, mmax, grid, matmul_dtype)
+        return InverseRealSHT(nlat, nlon, lmax, mmax, grid, matmul_dtype, lon_method)
 
     @property
     def matrix(self) -> jax.Array:

@@ -90,7 +90,9 @@ def run_model(config_path: Optional[str], overrides: List[str]) -> dict:
     if mode in ("validate", "test"):
         payload = Trainer.load_checkpoint(ckpt_path)
         trainer.restore_payload = payload
-        batch = next(iter(dm.train_batches(seed=seed)))
+        # shape template from the VAL split: an eval-only run must not read
+        # the training data (round-2 verdict nit)
+        batch = next(iter(dm.val_batches(horizon=exp.cfg.horizon)))
         state = trainer.init_state(batch)
         metrics = trainer.validate(state, max_batches=int(cfg.get("max_eval_batches", 8)))
         logger.log(metrics)

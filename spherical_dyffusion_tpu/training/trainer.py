@@ -78,6 +78,18 @@ class TrainerConfig:
     # start a fresh optimizer on resume instead of restoring the checkpoint's
     # (reference reset_optimizer, _base_experiment.py:1256-1259)
     reset_optimizer: bool = False
+    # --- product training path --------------------------------------------
+    # which fit loop the CLI runs (reference: its train.py CLI IS the
+    # production entry, src/train.py:21-187):
+    #   "fit"           dispatch-per-step host loop (works everywhere)
+    #   "fit_in_memory" whole-epoch lax.scan over the HBM-resident dataset
+    #                   (the TPU-native fast path: 10x+ epoch wall-time
+    #                   through the tunnel; dataset must fit in HBM)
+    #   "streaming"     fused epochs over fixed-size segments with
+    #                   double-buffered background uploads (datasets > HBM);
+    #                   set segment_samples
+    fit_mode: str = "fit"
+    segment_samples: Optional[int] = None
 
 
 def chunked_vmap(fn: Callable, keys: jnp.ndarray, chunk: Optional[int] = None):
@@ -421,6 +433,25 @@ class Trainer:
         logger=None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
+        # cfg.fit_mode makes the fused paths first-class product paths: the
+        # CLI (train.py) always calls fit(), and this dispatch routes it
+        if cfg.fit_mode == "fit_in_memory":
+            return self.fit_in_memory(
+                epochs=epochs, val_every=val_every, verbose=verbose,
+                logger=logger, segment_samples=None,
+            )
+        if cfg.fit_mode == "streaming":
+            if not cfg.segment_samples:
+                raise ValueError(
+                    "trainer.fit_mode='streaming' requires "
+                    "trainer.segment_samples (samples per device segment)"
+                )
+            return self.fit_in_memory(
+                epochs=epochs, val_every=val_every, verbose=verbose,
+                logger=logger, segment_samples=cfg.segment_samples,
+            )
+        if cfg.fit_mode != "fit":
+            raise ValueError(f"Unknown fit_mode {cfg.fit_mode!r}")
         epochs = epochs if epochs is not None else cfg.epochs
         first = next(iter(self.dm.train_batches(seed=cfg.seed)))
         state = self.init_state(first)
@@ -544,10 +575,45 @@ class Trainer:
 
         spe = steps_per_epoch or cfg.steps_per_epoch or max(1, n // bs)
         spe = min(spe, n // bs)
+
+        # mesh-aware fused epochs: the dataset rows shard over the "data"
+        # axis (HBM scales with the DP degree), and every gathered minibatch
+        # is constrained to the same sharding so the step runs data-parallel;
+        # XLA partitions the row gather (sharded dynamic-slice + collective)
+        use_mesh = self.mesh.size > 1
+        if use_mesh:
+            from jax.sharding import NamedSharding
+
+            from ..parallel.mesh import AXIS_DATA, P as _P
+
+            def _rows_sharding(ndim):
+                return NamedSharding(
+                    self.mesh, _P(*([AXIS_DATA] + [None] * (ndim - 1)))
+                )
+
+            dp = self.mesh.shape[AXIS_DATA]
+
+            def place_rows(v):
+                # pad rows to a multiple of the data-axis size (sharded
+                # device_put requires divisibility); padded rows are never
+                # gathered — batch indices only cover the real sample range
+                v = np.asarray(v)
+                pad = (-len(v)) % max(dp, 1)
+                if pad:
+                    v = np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                return jax.device_put(jnp.asarray(v), _rows_sharding(v.ndim))
+
+            def constrain_batch(x):
+                return (jax.lax.with_sharding_constraint(
+                    x, _rows_sharding(x.ndim)) if x is not None else None)
+        else:
+            place_rows = jnp.asarray
+            constrain_batch = lambda x: x  # noqa: E731
+
         data_dev = None
         if segment_samples is None:
             # materialize once on host, upload once to HBM
-            data_dev = {k: jnp.asarray(v)
+            data_dev = {k: place_rows(v)
                         for k, v in read_rows(range(n)).items()}
             first_batch = {k: np.asarray(v[:bs]) for k, v in data_dev.items()}
         else:
@@ -570,10 +636,12 @@ class Trainer:
                 st, key = carry
                 key, sub = jax.random.split(key)
                 batch_idx = step_ix
-                dyn = jnp.take(data["dynamics"], batch_idx, axis=0)
-                cond = (jnp.take(data["dynamical_condition"], batch_idx, axis=0)
+                dyn = constrain_batch(jnp.take(data["dynamics"], batch_idx, axis=0))
+                cond = (constrain_batch(
+                    jnp.take(data["dynamical_condition"], batch_idx, axis=0))
                         if has_cond else None)
-                rt = (jnp.take(data["random_timestep"], batch_idx, axis=0)
+                rt = (constrain_batch(
+                    jnp.take(data["random_timestep"], batch_idx, axis=0))
                       if has_rt else None)
                 st, metrics = train_step(st, dyn, cond, sub, aux, rt)
                 return (st, key), metrics["loss"]
@@ -604,7 +672,7 @@ class Trainer:
 
                 def produce():
                     for ch in chunks:
-                        yield {k: jax.device_put(v)
+                        yield {k: place_rows(v)
                                for k, v in read_rows(ch).items()}
 
                 seg_steps = segment_samples // bs
@@ -667,17 +735,34 @@ class Trainer:
             self._area_weights = self.dm.grid.horizontal.area_weights()
         w = jnp.asarray(self._area_weights)
         params = state.ema.params if (state.ema is not None) else state.params
-        # single-device validation: pull params off the mesh
-        params = jax.device_get(params)
+        # validation stays ON the mesh: params remain device/mesh-resident
+        # (no full-tree host fetch per epoch) and batches shard over the data
+        # axis — the eval step is one jitted program either way (reference
+        # analog: eval under DDP without leaving the process group,
+        # _base_experiment.py:919-1102)
         aux = getattr(exp, "aux_params", None)
         eval_step = self._get_eval_step()
         rng = jax.random.PRNGKey(self.cfg.seed + 7)
+        from ..parallel.mesh import AXIS_DATA
+
+        dp = self.mesh.shape[AXIS_DATA] if self.mesh.size > 1 else 1
+
+        def put(x):
+            # partial final batches (drop_last=False) may not divide the data
+            # axis; they run replicated (tiny) instead of sharded
+            if x is None:
+                return None
+            if dp > 1 and np.shape(x)[0] % dp == 0:
+                return shard_batch(self.mesh, x)
+            if self.mesh.size > 1:
+                return jax.device_put(jnp.asarray(x), replicated(self.mesh))
+            return jnp.asarray(x)
+
         rmses = []
         n = 0
         for batch in self.dm.val_batches(horizon=exp.cfg.horizon):
-            dyn = jnp.asarray(batch["dynamics"])
-            cond = batch.get("dynamical_condition")
-            cond = jnp.asarray(cond) if cond is not None else None
+            dyn = put(batch["dynamics"])
+            cond = put(batch.get("dynamical_condition"))
             table = eval_step(params, aux, dyn, cond, jax.random.fold_in(rng, n), w)
             rmses.append({k: float(v) for k, v in table.items()})
             n += 1
@@ -811,7 +896,9 @@ class Trainer:
         from ..inference import DYffusionStepper, InferenceConfig, run_inference
 
         params = state.ema.params if state.ema is not None else state.params
-        stepper = DYffusionStepper(exp, jax.device_get(params))
+        # mesh-resident rollout validation: params stay on the trainer's mesh
+        # (replicated), the IC x ensemble rows shard over its data axis
+        stepper = DYffusionStepper(exp, params, mesh=self.mesh)
         src = self.dm._source("val")
         n_steps = self.cfg.rollout_val_steps or min(
             self.dm.cfg.prediction_horizon or 8 * exp.cfg.horizon,

@@ -151,3 +151,23 @@ def test_prediction_inputs_noise_flows_from_config():
     dm = get_datamodule(cfg)
     exp = get_experiment(cfg, dm)
     assert exp.cfg.prediction_inputs_noise == 0.25
+
+
+def test_train_cli_fit_in_memory_product_path(tmp_path):
+    """Round-3 (verdict #3 done-criterion): the fused whole-epoch training
+    path is reachable from the CLI config —
+    `run.py experiment=debug_interpolation trainer.fit_mode=fit_in_memory`."""
+    from spherical_dyffusion_tpu.train import run_model
+
+    out = run_model(None, [
+        "experiment=debug_interpolation",
+        "trainer.fit_mode=fit_in_memory",
+        "trainer.epochs=1",
+        "++trainer.steps_per_epoch=4",
+        f"ckpt_dir={tmp_path}",
+        f"++log_dir={tmp_path}/logs",
+        "++resume=new",
+        "verbose=false",
+    ])
+    assert np.isfinite(out["history"]["train_loss"][-1])
+    assert os.path.exists(out["ckpt_path"])
