@@ -59,6 +59,11 @@ def main(argv=None) -> dict:
     # fused device training (Trainer.fit_in_memory): whole-epoch lax.scan
     # programs, ~20-40x faster epochs through the axon tunnel
     ap.add_argument("--fused", action=argparse.BooleanOptionalAction, default=True)
+    # synthetic system family: "ou" (stochastic forcing, decaying
+    # perturbations, closed-form conditional spread) or "chaotic" (Lorenz-96
+    # modal flow, POSITIVE Lyapunov exponent — the regime where the
+    # reference's interpolator-dropout spread mechanism operates on FV3GFS)
+    ap.add_argument("--system", choices=["ou", "chaotic"], default="ou")
     args = ap.parse_args(argv)
 
     import jax
@@ -115,6 +120,7 @@ def main(argv=None) -> dict:
     HORIZON = P["horizon"]
     C = P["channels"]
     dm = StochasticDataModule(
+        system=args.system,
         channels=C, height=P["height"], width=P["width"], horizon=HORIZON,
         n_timesteps=P["n_timesteps"], n_val_timesteps=P["n_val_timesteps"],
         batch_size=P["batch"], eval_batch_size=P["eval_bs"],
@@ -309,14 +315,22 @@ def main(argv=None) -> dict:
     naive_eval = run_eval(naive_exp, fc_params, args.ensemble)
     report["cold_sampling"] = cold_eval
     report["naive_sampling"] = naive_eval
-    # analytic irreducible spread of the system at each horizon (field units:
-    # per-mode std * sqrt(K) since modes are unit-RMS, before normalization)
     src = dm._val_src
     K = src._modes.shape[1]
-    report["analytic_spread"] = {
-        f"h{h}": src.conditional_forecast_std(h) * float(np.sqrt(K))
-        for h in range(1, HORIZON + 1)
-    }
+    if hasattr(src, "conditional_forecast_std"):
+        # OU: analytic irreducible spread at each horizon (field units:
+        # per-mode std * sqrt(K) since modes are unit-RMS)
+        report["analytic_spread"] = {
+            f"h{h}": src.conditional_forecast_std(h) * float(np.sqrt(K))
+            for h in range(1, HORIZON + 1)
+        }
+    if hasattr(src, "empirical_growth_factor"):
+        # chaotic: measured perturbation growth per horizon (>1 = positive
+        # Lyapunov exponent; the dropout-spread amplification regime)
+        report["perturbation_growth"] = {
+            f"h{h}": src.empirical_growth_factor(h)
+            for h in range(1, HORIZON + 1)
+        }
     print("cold:", json.dumps({k: round(v, 4) for k, v in cold_eval.items()}, indent=1),
           flush=True)
     print("naive:", json.dumps({k: round(v, 4) for k, v in naive_eval.items()}, indent=1),

@@ -243,6 +243,10 @@ class StochasticDataModule(BaseDataModule):
         n_modes: int = 8,
         rho: float = 0.9,
         sigma: float = 0.35,
+        system: str = "ou",  # "ou" (stochastic, decaying perturbations) |
+        # "chaotic" (Lorenz-96 modal flow, growing perturbations — the
+        # regime where interpolator dropout drives calibrated spread)
+        dt: float = 0.1,
         **cfg_kwargs,
     ):
         in_names = [f"var_{i}" for i in range(channels)]
@@ -257,11 +261,21 @@ class StochasticDataModule(BaseDataModule):
             **cfg_kwargs,
         )
         common = dict(spatial_shape=(height, width), seed=seed, omega_px=omega_px,
-                      n_modes=n_modes, rho=rho, sigma=sigma)
-        self._train_src = StochasticModalTimeSeries(
+                      n_modes=n_modes, sigma=sigma)
+        if system == "chaotic":
+            from .datasets import ChaoticModalTimeSeries
+
+            src_cls = ChaoticModalTimeSeries
+            common["dt"] = dt
+        elif system == "ou":
+            src_cls = StochasticModalTimeSeries
+            common["rho"] = rho
+        else:
+            raise ValueError(f"Unknown system {system!r}")
+        self._train_src = src_cls(
             in_names, n_timesteps=n_timesteps, noise_seed=seed + 1, **common
         )
-        self._val_src = StochasticModalTimeSeries(
+        self._val_src = src_cls(
             in_names, n_timesteps=n_val_timesteps, noise_seed=seed + 2, **common
         )
         sample = self._train_src.read_window(0, min(64, n_timesteps), in_names)
