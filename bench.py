@@ -224,8 +224,10 @@ def train_bench(embed, layers, window):
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         min_time=0, max_time=horizon - 1,
     ))
+    # keep the frozen interpolator tree ON DEVICE: host numpy aux_params
+    # would re-upload ~100MB through the tunnel at every step
     fexp = DYffusionForecastingExperiment(
-        fmodel, interp, jax.device_get(st_i.params), dcfg,
+        fmodel, interp, st_i.params, dcfg,
         ExperimentConfig(horizon=horizon), dm.in_packer, dm.out_packer,
         dm.normalizer, forcing_names=dm.cfg.forcing_names,
         forcing_normalizer=dm.forcing_normalizer,

@@ -154,31 +154,40 @@ class RealSHT:
         x = x.astype(jnp.float32)
         mmd = _effective_matmul_dtype(self.matmul_dtype)
         md = m.astype(mmd)
+        if self.fold_symmetry and self.nlat % 2 == 0 and self.lmax % 2 == 0:
+            # opt-in high-resolution path keeps the split re/im formulation
+            if self.lon_method == "matmul":
+                d = (self._dft if dft is None else dft).astype(mmd)
+                xd = x.astype(mmd)
+                xr = jnp.einsum("...hwc,wm->...hmc", xd, d[..., 0],
+                                preferred_element_type=jnp.float32)
+                xi = jnp.einsum("...hwc,wm->...hmc", xd, d[..., 1],
+                                preferred_element_type=jnp.float32)
+            else:
+                xf = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
+                xr, xi = xf.real, xf.imag
+            re = _analysis_folded(xr.astype(mmd), md, self.nlat, self.lmax)
+            im = _analysis_folded(xi.astype(mmd), md, self.nlat, self.lmax)
+            return jax.lax.complex(re, im)
+        # fused real/imag formulation: the cos/sin DFT components ride as a
+        # trailing r axis INSIDE the dot_generals — one DFT GEMM instead of
+        # two, and the m-batched Legendre GEMM runs with N = 2C columns
+        # (half the batched-GEMM launches, half the layout copies, better MXU
+        # tiles at embed 256)
         if self.lon_method == "matmul":
-            d = (self._dft if dft is None else dft).astype(mmd)
+            d = (self._dft if dft is None else dft).astype(mmd)  # (w, m, 2)
             xd = x.astype(mmd)
-            # longitude DFT as two MXU matmuls over w
-            xr = jnp.einsum("...hwc,wm->...hmc", xd, d[..., 0],
-                            preferred_element_type=jnp.float32)
-            xi = jnp.einsum("...hwc,wm->...hmc", xd, d[..., 1],
-                            preferred_element_type=jnp.float32)
+            xf2 = jnp.einsum("...hwc,wmr->...hmcr", xd, d,
+                             preferred_element_type=jnp.float32)
         else:
             # longitude FFT with 1/nlon (norm="forward"), truncate to mmax
             xf = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
-            xr, xi = xf.real, xf.imag
-        # latitude Legendre analysis: one MXU matmul batched over m
-        # (..., h, m, c) x (h, l, m) -> (..., l, m, c); real/imag decomposed so
-        # the matmul inputs can ride bf16 (8x MXU throughput) with fp32
-        # accumulation when requested
-        if self.fold_symmetry and self.nlat % 2 == 0 and self.lmax % 2 == 0:
-            re = _analysis_folded(xr.astype(mmd), md, self.nlat, self.lmax)
-            im = _analysis_folded(xi.astype(mmd), md, self.nlat, self.lmax)
-        else:
-            re = jnp.einsum("...hmc,hlm->...lmc", xr.astype(mmd), md,
-                            preferred_element_type=jnp.float32)
-            im = jnp.einsum("...hmc,hlm->...lmc", xi.astype(mmd), md,
-                            preferred_element_type=jnp.float32)
-        return jax.lax.complex(re, im)
+            xf2 = jnp.stack([xf.real, xf.imag], axis=-1)
+        # latitude Legendre analysis batched over m:
+        # (..., h, m, c, r) x (h, l, m) -> (..., l, m, c, r)
+        z = jnp.einsum("...hmcr,hlm->...lmcr", xf2.astype(mmd), md,
+                       preferred_element_type=jnp.float32)
+        return jax.lax.complex(z[..., 0], z[..., 1])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -226,20 +235,28 @@ class InverseRealSHT:
         if self.fold_symmetry and self.nlat % 2 == 0 and self.lmax % 2 == 0:
             re = _synthesis_folded(x.real.astype(mmd), md, self.nlat, self.lmax)
             im = _synthesis_folded(x.imag.astype(mmd), md, self.nlat, self.lmax)
+            if self.lon_method == "matmul":
+                d = (self._dft if dft is None else dft).astype(mmd)
+                out = jnp.einsum("...hmc,mw->...hwc", re.astype(mmd),
+                                 d[..., 0], preferred_element_type=jnp.float32)
+                out = out + jnp.einsum("...hmc,mw->...hwc", im.astype(mmd),
+                                       d[..., 1], preferred_element_type=jnp.float32)
+                return out
+            xf = jax.lax.complex(re, im)
+        elif self.lon_method == "matmul":
+            # fused real/imag: the r axis rides inside both GEMMs; the
+            # Hermitian inverse DFT contracts (m, r) jointly in ONE dot
+            xs = jnp.stack([x.real, x.imag], axis=-1).astype(mmd)
+            y = jnp.einsum("...lmcr,hlm->...hmcr", xs, md,
+                           preferred_element_type=jnp.float32)
+            d = (self._dft if dft is None else dft).astype(mmd)  # (m, w, 2)
+            return jnp.einsum("...hmcr,mwr->...hwc", y.astype(mmd), d,
+                              preferred_element_type=jnp.float32)
         else:
-            re = jnp.einsum("...lmc,hlm->...hmc", x.real.astype(mmd), md,
-                            preferred_element_type=jnp.float32)
-            im = jnp.einsum("...lmc,hlm->...hmc", x.imag.astype(mmd), md,
-                            preferred_element_type=jnp.float32)
-        if self.lon_method == "matmul":
-            d = (self._dft if dft is None else dft).astype(mmd)
-            # Hermitian inverse DFT as one fused matmul pair over m
-            out = jnp.einsum("...hmc,mw->...hwc", re.astype(mmd),
-                             d[..., 0], preferred_element_type=jnp.float32)
-            out = out + jnp.einsum("...hmc,mw->...hwc", im.astype(mmd),
-                                   d[..., 1], preferred_element_type=jnp.float32)
-            return out
-        xf = jax.lax.complex(re, im)
+            xs = jnp.stack([x.real, x.imag], axis=-1).astype(mmd)
+            y = jnp.einsum("...lmcr,hlm->...hmcr", xs, md,
+                           preferred_element_type=jnp.float32)
+            xf = jax.lax.complex(y[..., 0], y[..., 1])
         # pad azimuthal modes up to nlon//2+1 if truncated, then Hermitian inverse FFT
         full_m = self.nlon // 2 + 1
         if self.mmax < full_m:
