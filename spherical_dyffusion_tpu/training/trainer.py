@@ -476,16 +476,19 @@ class Trainer:
                 rt = batch.get("random_timestep")
                 rt = shard_batch(self.mesh, np.asarray(rt, np.int32)) if rt is not None else None
                 state, metrics = train_step(state, dyn, cond, sub, aux_params, rt)
-                # fetch to host immediately: eager ops over multi-device arrays
-                # can deadlock XLA-CPU collectives on the virtual test mesh
-                losses.append(float(metrics["loss"]))
+                # keep the loss as a DEVICE array: a float() here would block
+                # async dispatch every step (~0.5-1s of pure tunnel overhead
+                # per step measured); host conversion happens only at log
+                # points and at epoch end
+                losses.append(metrics["loss"])
                 if logger is not None and step % cfg.log_every == 0:
                     logger.log(
-                        {"train/loss": losses[-1],
+                        {"train/loss": float(metrics["loss"]),
                          "train/grad_norm": float(metrics.get("grad_norm", 0.0))},
                         step=step,
                     )
                 step += 1
+            losses = [float(x) for x in losses]
             epoch_s = time.time() - t0
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             history["train_loss"].append(mean_loss)
