@@ -48,9 +48,6 @@ def distributed_sht(x: jax.Array, sht: RealSHT, mesh: Mesh,
     B, H, W, C = x.shape
     assert H % nh == 0 and W % nw == 0 and C % max(nw, 1) == 0, (H, W, C, nh, nw)
     analysis = sht.matrix  # (H, L, M)
-    Mfull = W // 2 + 1
-    # pad the m dim so it splits evenly across w for the inverse all_to_all
-    Mpad = -(-Mfull // nw) * nw
 
     def fn(x_blk, a_blk):
         # x_blk: (B, H/nh, W/nw, C); a_blk: (H/nh, L, M)

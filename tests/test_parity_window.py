@@ -129,3 +129,30 @@ def test_forecaster_ckpt_without_embedded_interpolator_uses_sidecar(fabricated):
                    "interpolator_checkpoint_path": facts["interpolator"]},
     )
     assert exp.interpolator_params is not None
+
+
+def test_run_inference_cli_on_reference_torch_ckpt(fabricated, tmp_path):
+    """The full inference CLI (run_inference.main_from_config) runs directly
+    off a reference-format torch Lightning checkpoint: load dispatch, packer/
+    normalizer rebuild, prescriber from the ckpt's datamodule config,
+    aggregator + per-timestep logs."""
+    from spherical_dyffusion_tpu.run_inference import main_from_config
+
+    pc, facts = fabricated
+    out = main_from_config({
+        "checkpoint_path": facts["forecaster"],
+        "overrides": {"datamodule": {"data_dir_stats": facts["stats"]},
+                      "diffusion": {"enable_interpolator_dropout": False}},
+        "n_forward_steps": facts["horizon"] + 1,  # one full + partial segment
+        "forward_steps_in_memory": facts["horizon"] + 1,
+        "experiment_dir": str(tmp_path),
+        "platform": "cpu",
+        "verbose": False,
+        "log_zonal_mean_images": False,
+        "use_ema": False,
+    })
+    assert out["summary"]["n_forward_steps"] == facts["horizon"] + 1
+    import numpy as np
+
+    vals = [v for v in out["logs"].values()]
+    assert vals and all(np.isfinite(v) for v in vals)
