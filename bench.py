@@ -112,6 +112,15 @@ def product_bench(stepper, src, window, total_steps, n_ensemble, embed, layers):
     )
 
     names = list(stepper.exp.out_packer.names)
+    # aligned repeating source: one upload per distinct window content (see
+    # inference/loop.py upload cache)
+    from spherical_dyffusion_tpu.data import SyntheticTimeSeries as _STS
+
+    src = _STS(
+        [n for n in (list(stepper.exp.in_packer.names)
+                     + list(stepper.exp.forcing_names) + ["ocean_fraction"])],
+        n_timesteps=window, spatial_shape=(180, 360),
+    )
     n_steps = max(2 * window, total_steps)
     icfg = InferenceConfig(
         n_forward_steps=n_steps, forward_steps_in_memory=window,

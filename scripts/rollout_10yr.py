@@ -71,7 +71,11 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     stepper, in_names, forcing_names = build(args.embed, args.layers)
     names = in_names + forcing_names + ["ocean_fraction"]
-    src = SyntheticTimeSeries(names, n_timesteps=args.window + 1,
+    # n_timesteps == window aligns the repeating reads: every window's wrapped
+    # offsets coincide, so the per-window forcing/target uploads hit the
+    # loop's device-buffer cache (one upload total — also sidesteps the
+    # axon-client host-RAM leak per device_put, see inference/loop.py)
+    src = SyntheticTimeSeries(names, n_timesteps=args.window,
                               spatial_shape=(180, 360))
     agg = InferenceAggregator(
         list(stepper.exp.out_packer.names), src.horizontal.area_weights(),
