@@ -81,19 +81,30 @@ def main():
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
     )
     import jax.numpy as jnp
+    import numpy as np
 
     from bench import build
+    from spherical_dyffusion_tpu.data import SyntheticTimeSeries
 
     stepper, in_names, forcing_names = build(args.embed, args.layers)
+    W = args.window
+    src = SyntheticTimeSeries(in_names + forcing_names + ["ocean_fraction"],
+                              n_timesteps=W + 1, spatial_shape=(180, 360))
+    forcing = jnp.asarray(np.stack(
+        [src.read_window(0, W + 1, forcing_names)[n] for n in forcing_names],
+        -1)[None], jnp.float32)
+    sst = jnp.asarray(src.read_window(
+        0, W + 1, ["surface_temperature"])["surface_temperature"])[None]
+    mask = jnp.asarray(src.read_window(
+        0, 1, ["ocean_fraction"])["ocean_fraction"][0])[None]
     x = jnp.zeros((1, 180, 360, 35), jnp.float32)
     # warmup/compile outside the trace
-    x, _ = stepper.run_window(x, None, None, None, jax.random.PRNGKey(0),
-                              args.window)
+    x, _ = stepper.run_window(x, forcing, sst, mask, jax.random.PRNGKey(0), W)
     jax.block_until_ready(x)
     trace_dir = "/tmp/window_trace"
     with jax.profiler.trace(trace_dir):
-        x, _ = stepper.run_window(x, None, None, None, jax.random.PRNGKey(1),
-                                  args.window)
+        x, _ = stepper.run_window(x, forcing, sst, mask,
+                                  jax.random.PRNGKey(1), W)
         jax.block_until_ready(x)
     parse_trace(trace_dir, args.top)
 
