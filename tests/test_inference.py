@@ -394,3 +394,44 @@ def test_rollout_determinism_and_ensemble_divergence():
     _, preds = st2.run_window(x, f, None, None, jax.random.PRNGKey(0), HORIZON)
     # members share the window rng stream but dropout masks differ per batch row
     assert not np.allclose(np.asarray(preds[0]), np.asarray(preds[1]))
+
+
+def test_repeating_window_uploads_are_cached():
+    """Round-3: with n_repeats > 1 and a source aligned to the window length,
+    every window's wrapped read offsets coincide — the conditioning/target
+    device buffers must be uploaded once and reused (guards the axon-client
+    host-RAM leak workaround AND the redundant-transfer cost)."""
+    HORIZON = 4
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=HORIZON,
+                         n_forcing=1, batch_size=8, n_timesteps=64)
+    exp, params = _train_tiny_dyffusion(dm, HORIZON)
+    stepper = DYffusionStepper(exp, params)
+    W = 2 * HORIZON
+    names = list(dm.cfg.in_names) + list(dm.cfg.forcing_names)
+    src = SyntheticTimeSeries(names, n_timesteps=W, spatial_shape=(8, 16))
+    n_puts = {"n": 0}
+    orig_put = jax.device_put
+
+    def counting_put(x, *a, **k):
+        if hasattr(x, "nbytes") and getattr(x, "nbytes", 0) > 1024:
+            n_puts["n"] += 1
+        return orig_put(x, *a, **k)
+
+    agg = InferenceAggregator(list(dm.cfg.out_names),
+                              dm.grid.horizontal.area_weights())
+    jax.device_put = counting_put
+    try:
+        run_inference(
+            stepper, src,
+            InferenceConfig(n_forward_steps=4 * W, forward_steps_in_memory=W,
+                            n_repeats=16),
+            aggregator=agg, verbose=False,
+        )
+    finally:
+        jax.device_put = orig_put
+    # 4 windows of identical wrapped offsets: the upload happens for the first
+    # window only (conditioning + forcing + targets), then buffers are reused
+    first_window_puts = n_puts["n"]
+    assert first_window_puts <= 8, n_puts
+    logs = agg.get_logs()
+    assert np.isfinite(logs["inference/avg/rmse"])
