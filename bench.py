@@ -43,7 +43,8 @@ STEPS_PER_SIM_YEAR = 1460  # 6-hourly steps
 BASELINE_SIM_YEARS_PER_DAY = 25.0
 
 
-def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False):
+def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
+          merged_dhconv=False):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -65,6 +66,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False):
         dropout_mlp=0.1, drop_path_rate=0.1, min_time=1, max_time=horizon - 1,
         data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
         sht_fold_symmetry=fold, use_pallas=use_pallas,
+        merged_dhconv=merged_dhconv,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -73,7 +75,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False):
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         min_time=0, max_time=horizon - 1, data_grid="equiangular",
         compute_dtype=dtype, sht_matmul_dtype=dtype, sht_fold_symmetry=fold,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, merged_dhconv=merged_dhconv,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -333,13 +335,16 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     fold = os.environ.get("BENCH_FOLD", "0") == "1"
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    # BENCH_MERGED=1: single merged-GEMM dhconv (measured ~3% slower on v5e)
+    merged = os.environ.get("BENCH_MERGED", "0") == "1"
 
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         return train_bench(embed, layers, window)
     if os.environ.get("BENCH_MESH", "0") == "1":
         return mesh_bench(embed, layers, window, total_steps, n_ensemble)
 
-    stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas)
+    stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas,
+                                             merged)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 

@@ -29,7 +29,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import InverseRealSHT, RealSHT, RealFFT2, InverseRealFFT2, contract
-from ..ops.contractions import contract_dhconv_cp, contract_dhconv_tt, contract_dhconv_tucker
+from ..ops.contractions import (
+    contract_dhconv_cp,
+    contract_dhconv_stacked,
+    contract_dhconv_tt,
+    contract_dhconv_tucker,
+)
 from .modules import (
     DropPath,
     InstanceNorm2d,
@@ -99,6 +104,10 @@ class SFNOConfig:
     # route dense dhconv contractions through the fused Pallas kernel
     # (ops/pallas_contractions.py); interpret mode off-TPU
     use_pallas: bool = False
+    # merged single-GEMM dhconv on the stacked real layout (see
+    # SpectralConvS2.merged_dhconv — measured ~3% slower at paper scale,
+    # opt-in for other shapes)
+    merged_dhconv: bool = False
     # debug mode shrinks the model like the reference (sfnonet.py:468-471)
     debug_mode: bool = False
 
@@ -179,6 +188,12 @@ class SpectralConvS2(nn.Module):
     factorization: str = ""  # "" (dense) | "cp" | "tucker" | "tt"
     rank: float = 1.0  # factorization rank as a fraction of min(ci, co)
     use_pallas: bool = False  # fused Pallas dhconv kernel (dense, non-separable)
+    # single merged batched GEMM for the dhconv on the stacked (..., c, 2)
+    # layout (contract_dhconv_stacked). Measured ~3% SLOWER end-to-end than
+    # the four-GEMM decomposition at 180x360/embed-256 on v5e (window 5.6s vs
+    # 5.4-5.5s): XLA overlaps the four smaller GEMMs better than it tiles the
+    # one big one. Kept opt-in for other shapes/hardware.
+    merged_dhconv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mats=None) -> tuple[jax.Array, jax.Array]:
@@ -229,7 +244,22 @@ class SpectralConvS2(nn.Module):
             )
 
         residual = x
-        xs = self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d)
+        # fused stacked pipeline: for the dense dhconv the SHT emits the
+        # (..., l, m, c, 2) real layout, the contraction is ONE merged batched
+        # GEMM (weights/activations cross HBM once, 2x bigger tiles), and the
+        # ISHT consumes the stacked result — no complex values anywhere
+        use_stacked = (
+            self.merged_dhconv
+            and not self.factorization
+            and self.operator_type == "dhconv"
+            and not self.separable
+            and not self.use_pallas
+            and isinstance(self.forward_transform, RealSHT)
+            and isinstance(self.inverse_transform, InverseRealSHT)
+        )
+        xs = self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d,
+                                    stacked=True) if use_stacked else \
+            self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d)
         scale_residual = (
             self.forward_transform.nlat != self.inverse_transform.nlat
             or self.forward_transform.nlon != self.inverse_transform.nlon
@@ -238,7 +268,10 @@ class SpectralConvS2(nn.Module):
         if scale_residual:
             residual = self.inverse_transform(xs, inv_m, inv_d).astype(dtype)
 
-        if self.factorization == "cp":
+        if use_stacked:
+            xs = contract_dhconv_stacked(xs, weight,
+                                         matmul_dtype=self.matmul_dtype or None)
+        elif self.factorization == "cp":
             xs = contract_dhconv_cp(xs, weight, matmul_dtype=self.matmul_dtype or None)
         elif self.factorization == "tucker":
             xs = contract_dhconv_tucker(xs, weight)
@@ -379,6 +412,7 @@ class FNOBlock(nn.Module):
                 factorization=cfg.factorization or "",
                 rank=cfg.rank,
                 use_pallas=cfg.use_pallas,
+                merged_dhconv=cfg.merged_dhconv,
                 name="filter",
             )
         elif cfg.filter_type == "non-linear":

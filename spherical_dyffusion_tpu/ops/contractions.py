@@ -30,8 +30,9 @@ def _effective_matmul_dtype(requested):
         return None
     return requested
 
-__all__ = ["contract_dhconv", "contract_diagonal", "contract_dhconv_cp",
-           "contract_dhconv_tucker", "contract_dhconv_tt", "contract"]
+__all__ = ["contract_dhconv", "contract_dhconv_stacked", "contract_diagonal",
+           "contract_dhconv_cp", "contract_dhconv_tucker", "contract_dhconv_tt",
+           "contract"]
 
 
 def _as_complex(w: jax.Array) -> jax.Array:
@@ -67,6 +68,35 @@ def contract_dhconv(x: jax.Array, w: jax.Array, separable: bool = False,
         yr = mm(xr, wr) - mm(xi, wi)
         yi = mm(xr, wi) + mm(xi, wr)
     return jax.lax.complex(yr, yi)
+
+
+def contract_dhconv_stacked(x: jax.Array, w: jax.Array,
+                            matmul_dtype=None) -> jax.Array:
+    """Merged-GEMM Driscoll-Healy conv on the stacked real layout.
+
+    x: (..., l, m, ci, 2) real (``RealSHT(..., stacked=True)`` output),
+    w: (ci, co, l, 2) — the SAME parameter layout as ``contract_dhconv``.
+
+    All four real products (xr*wr, xr*wi, xi*wr, xi*wi) are computed by ONE
+    batched dot_general (batch l, M = m*2, K = ci, N = co*2) instead of four
+    (M = m, K = ci, N = co): the weight tensor crosses HBM once per call
+    instead of twice, the activations once instead of twice, and the GEMM
+    tiles are twice as large on both free dimensions — the same fusion that
+    made the SHT's r-axis formulation faster. The complex combine is a cheap
+    elementwise epilogue that XLA fuses.
+
+    Returns (..., l, m, co, 2) real — fed straight to ``InverseRealSHT``.
+    """
+    matmul_dtype = _effective_matmul_dtype(matmul_dtype)
+    xd, wd = x, w
+    if matmul_dtype is not None:
+        xd, wd = x.astype(matmul_dtype), w.astype(matmul_dtype)
+    # (..., l, m, i, r) x (i, o, l, q) -> (..., l, m, r, o, q)
+    p = jnp.einsum("...lmir,iolq->...lmroq", xd, wd,
+                   preferred_element_type=jnp.float32)
+    yr = p[..., 0, :, 0] - p[..., 1, :, 1]
+    yi = p[..., 0, :, 1] + p[..., 1, :, 0]
+    return jnp.stack([yr, yi], axis=-1)
 
 
 def contract_diagonal(x: jax.Array, w: jax.Array, separable: bool = False,

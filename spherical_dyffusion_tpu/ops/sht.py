@@ -143,12 +143,17 @@ class RealSHT:
         return self._analysis
 
     def __call__(self, x: jax.Array, matrix: jax.Array | None = None,
-                 dft: jax.Array | None = None) -> jax.Array:
+                 dft: jax.Array | None = None, stacked: bool = False) -> jax.Array:
         """x: (..., nlat, nlon, C) real -> (..., lmax, mmax, C) complex64.
 
         ``matrix``/``dft`` let callers pass the (possibly traced) Legendre /
         DFT matrices as runtime arguments instead of baked-in constants —
         large embedded literals blow up remotely-compiled program payloads.
+
+        ``stacked=True`` returns the real/imag pair as a trailing axis
+        ``(..., lmax, mmax, C, 2)`` float32 instead of complex64 — the native
+        output layout of the fused formulation, consumed directly by the
+        merged dhconv GEMM and ``InverseRealSHT`` without complex round-trips.
         """
         m = self._analysis if matrix is None else matrix
         x = x.astype(jnp.float32)
@@ -168,6 +173,8 @@ class RealSHT:
                 xr, xi = xf.real, xf.imag
             re = _analysis_folded(xr.astype(mmd), md, self.nlat, self.lmax)
             im = _analysis_folded(xi.astype(mmd), md, self.nlat, self.lmax)
+            if stacked:
+                return jnp.stack([re, im], axis=-1)
             return jax.lax.complex(re, im)
         # fused real/imag formulation: the cos/sin DFT components ride as a
         # trailing r axis INSIDE the dot_generals — one DFT GEMM instead of
@@ -187,6 +194,8 @@ class RealSHT:
         # (..., h, m, c, r) x (h, l, m) -> (..., l, m, c, r)
         z = jnp.einsum("...hmcr,hlm->...lmcr", xf2.astype(mmd), md,
                        preferred_element_type=jnp.float32)
+        if stacked:
+            return z
         return jax.lax.complex(z[..., 0], z[..., 1])
 
 
@@ -226,15 +235,25 @@ class InverseRealSHT:
 
     def __call__(self, x: jax.Array, matrix: jax.Array | None = None,
                  dft: jax.Array | None = None) -> jax.Array:
-        """x: (..., lmax, mmax, C) complex -> (..., nlat, nlon, C) real float32."""
+        """x: (..., lmax, mmax, C) complex -> (..., nlat, nlon, C) real float32.
+
+        Also accepts the stacked real layout ``(..., lmax, mmax, C, 2)``
+        (see ``RealSHT.__call__(stacked=True)``) — the fused spectral
+        pipeline hands that through SHT -> dhconv -> ISHT without ever
+        materializing complex values.
+        """
         m = self._synthesis if matrix is None else matrix
-        x = x.astype(jnp.complex64)
+        is_stacked = not jnp.issubdtype(x.dtype, jnp.complexfloating)
+        if not is_stacked:
+            x = x.astype(jnp.complex64)
         # latitude synthesis (real/imag decomposed; see RealSHT.__call__)
         mmd = _effective_matmul_dtype(self.matmul_dtype)
         md = m.astype(mmd)
         if self.fold_symmetry and self.nlat % 2 == 0 and self.lmax % 2 == 0:
-            re = _synthesis_folded(x.real.astype(mmd), md, self.nlat, self.lmax)
-            im = _synthesis_folded(x.imag.astype(mmd), md, self.nlat, self.lmax)
+            xr = x[..., 0] if is_stacked else x.real
+            xi = x[..., 1] if is_stacked else x.imag
+            re = _synthesis_folded(xr.astype(mmd), md, self.nlat, self.lmax)
+            im = _synthesis_folded(xi.astype(mmd), md, self.nlat, self.lmax)
             if self.lon_method == "matmul":
                 d = (self._dft if dft is None else dft).astype(mmd)
                 out = jnp.einsum("...hmc,mw->...hwc", re.astype(mmd),
@@ -246,14 +265,16 @@ class InverseRealSHT:
         elif self.lon_method == "matmul":
             # fused real/imag: the r axis rides inside both GEMMs; the
             # Hermitian inverse DFT contracts (m, r) jointly in ONE dot
-            xs = jnp.stack([x.real, x.imag], axis=-1).astype(mmd)
+            xs = (x if is_stacked
+                  else jnp.stack([x.real, x.imag], axis=-1)).astype(mmd)
             y = jnp.einsum("...lmcr,hlm->...hmcr", xs, md,
                            preferred_element_type=jnp.float32)
             d = (self._dft if dft is None else dft).astype(mmd)  # (m, w, 2)
             return jnp.einsum("...hmcr,mwr->...hwc", y.astype(mmd), d,
                               preferred_element_type=jnp.float32)
         else:
-            xs = jnp.stack([x.real, x.imag], axis=-1).astype(mmd)
+            xs = (x if is_stacked
+                  else jnp.stack([x.real, x.imag], axis=-1)).astype(mmd)
             y = jnp.einsum("...lmcr,hlm->...hmcr", xs, md,
                            preferred_element_type=jnp.float32)
             xf = jax.lax.complex(y[..., 0], y[..., 1])

@@ -238,3 +238,56 @@ def test_symmetry_folded_transforms_match_unfolded():
         ya, yb = isht(a), isht_f(a)
         np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-5,
                                    err_msg=grid)
+
+
+def test_stacked_pipeline_matches_complex():
+    """The fused stacked path (SHT(stacked=True) -> merged-GEMM dhconv ->
+    ISHT on the stacked layout) must match the complex-typed path."""
+    from spherical_dyffusion_tpu.ops.contractions import (
+        contract_dhconv,
+        contract_dhconv_stacked,
+    )
+
+    rng = np.random.default_rng(7)
+    H, W, L, M, CI, CO = 12, 24, 8, 9, 5, 6
+    sht = RealSHT.create(H, W, lmax=L, mmax=M, grid="equiangular")
+    isht = InverseRealSHT.create(H, W, lmax=L, mmax=M, grid="equiangular")
+    x = jnp.asarray(rng.standard_normal((2, H, W, CI)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((CI, CO, L, 2)) * 0.1, jnp.float32)
+
+    spec_c = sht(x)
+    spec_s = sht(x, stacked=True)
+    assert spec_s.shape == (2, L, M, CI, 2)
+    assert spec_s.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(spec_s[..., 0]), np.asarray(spec_c.real),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(spec_s[..., 1]), np.asarray(spec_c.imag),
+                               atol=1e-6)
+
+    y_c = contract_dhconv(spec_c, w)
+    y_s = contract_dhconv_stacked(spec_s, w)
+    assert y_s.shape == (2, L, M, CO, 2)
+    np.testing.assert_allclose(np.asarray(y_s[..., 0]), np.asarray(y_c.real),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_s[..., 1]), np.asarray(y_c.imag),
+                               atol=1e-5)
+
+    out_c = isht(y_c)
+    out_s = isht(y_s)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_c), atol=1e-5)
+
+    # fft longitude path also supports both layouts
+    sht_f = RealSHT.create(H, W, lmax=L, mmax=M, lon_method="fft")
+    isht_f = InverseRealSHT.create(H, W, lmax=L, mmax=M, lon_method="fft")
+    np.testing.assert_allclose(
+        np.asarray(isht_f(sht_f(x, stacked=True))),
+        np.asarray(isht_f(sht_f(x))), atol=1e-5)
+
+    # folded-symmetry variant (even nlat/lmax)
+    import dataclasses as dc
+
+    sht_fold = dc.replace(sht, fold_symmetry=True)
+    isht_fold = dc.replace(isht, fold_symmetry=True)
+    np.testing.assert_allclose(
+        np.asarray(isht_fold(sht_fold(x, stacked=True))),
+        np.asarray(isht_fold(sht_fold(x))), atol=1e-5)
