@@ -42,6 +42,19 @@ from spherical_dyffusion_tpu.training import (
 STEPS_PER_SIM_YEAR = 1460  # 6-hourly steps
 BASELINE_SIM_YEARS_PER_DAY = 25.0
 
+# BENCH_RNG selects the PRNG impl for every random draw in the window program
+# (inference-time interpolator dropout — the DYffusion spread mechanism).
+# Default "rbg": the TPU's hardware RNG instruction. Software threefry mask
+# generation fuses INTO the per-layer MLP megafusions and holds them at
+# ~34 TF/s (measured: threefry 1036.7 vs rbg 1147.3 sim-yr/day — +10.7%).
+RNG_IMPL = os.environ.get("BENCH_RNG", "rbg")
+
+
+def mkkey(i: int):
+    if RNG_IMPL == "threefry":
+        return jax.random.PRNGKey(i)
+    return jax.random.key(i, impl=RNG_IMPL)
+
 
 def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
           merged_dhconv=False):
@@ -377,7 +390,7 @@ def main():
     for attempt in range(3):
         try:
             t0 = time.time()
-            x, _ = stepper.run_window(x, forcing, sst, mask, jr.PRNGKey(0), window)
+            x, _ = stepper.run_window(x, forcing, sst, mask, mkkey(0), window)
             jax.block_until_ready(x)
             compile_s = time.time() - t0
             break
@@ -392,7 +405,7 @@ def main():
     times = []
     for i in range(n_windows):
         t0 = time.time()
-        x, _ = stepper.run_window(x, forcing, sst, mask, jr.PRNGKey(i + 1), window)
+        x, _ = stepper.run_window(x, forcing, sst, mask, mkkey(i + 1), window)
         jax.block_until_ready(x)
         times.append(time.time() - t0)
     med = float(np.median(times))
