@@ -90,6 +90,15 @@ class TrainerConfig:
     #                   set segment_samples
     fit_mode: str = "fit"
     segment_samples: Optional[int] = None
+    # PRNG implementation for every training-time draw (diffusion timesteps,
+    # dropout masks, val ensemble keys). "rbg" = the TPU's hardware RNG
+    # instruction; software threefry mask generation fuses into the per-layer
+    # MLP megafusions and throttles them (measured +10.7% on the inference
+    # window program — same mechanism in the train forward). Key derivation
+    # (split/fold_in) stays threefry-based either way, so per-shard fold_in
+    # independence is unchanged. Set "threefry" for cross-backend stream
+    # reproducibility.
+    rng_impl: str = "rbg"
 
 
 def chunked_vmap(fn: Callable, keys: jnp.ndarray, chunk: Optional[int] = None):
@@ -176,12 +185,17 @@ class Trainer:
         self.mesh = mesh
         self._area_weights = None
 
+    def _key(self, seed: int) -> jax.Array:
+        if self.cfg.rng_impl == "threefry":
+            return jax.random.PRNGKey(seed)
+        return jax.random.key(seed, impl=self.cfg.rng_impl)
+
     # ------------------------------------------------------------------ setup
     def init_state(self, sample_batch: Dict[str, np.ndarray]) -> TrainState:
         cfg = self.cfg
         dyn = jnp.asarray(sample_batch["dynamics"][:1])
         dyn = self.exp.normalizer.normalize(dyn)
-        rng = jax.random.PRNGKey(cfg.seed)
+        rng = self._key(cfg.seed)
         params = self._init_params(rng, dyn, sample_batch)
         restore = getattr(self, "restore_payload", None)
         if restore is not None:
@@ -459,7 +473,7 @@ class Trainer:
         # frozen auxiliary params (e.g. DYffusion's interpolator) enter the
         # jitted step as an ARGUMENT, never as an embedded constant
         aux_params = getattr(self.exp, "aux_params", None)
-        rng = jax.random.PRNGKey(cfg.seed + 1)
+        rng = self._key(cfg.seed + 1)
         history = {"train_loss": [], "val": []}
         step = 0
         for epoch in range(epochs):
@@ -658,7 +672,7 @@ class Trainer:
         for epoch in range(epochs):
             t0 = time.time()
             perm = np.random.default_rng(cfg.seed + epoch).permutation(n)[: spe * bs]
-            rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
+            rng = jax.random.fold_in(self._key(cfg.seed + 1), epoch)
             if segment_samples is None:
                 idx = jnp.asarray(perm.reshape(spe, bs), jnp.int32)
                 state, losses = epoch_jit(state, data_dev, idx, rng, aux_params)
@@ -745,7 +759,7 @@ class Trainer:
         # _base_experiment.py:919-1102)
         aux = getattr(exp, "aux_params", None)
         eval_step = self._get_eval_step()
-        rng = jax.random.PRNGKey(self.cfg.seed + 7)
+        rng = self._key(self.cfg.seed + 7)
         from ..parallel.mesh import AXIS_DATA
 
         dp = self.mesh.shape[AXIS_DATA] if self.mesh.size > 1 else 1
