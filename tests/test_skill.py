@@ -26,7 +26,7 @@ def skill_report(tmp_path_factory):
     return main([
         "--preset=mini", "--platform=cpu", "--ensemble=4",
         "--rollout-steps=16", f"--out={out}",
-        "--epochs-interp=4", "--epochs-fc=2", "--steps-per-epoch=40",
+        "--epochs-interp=8", "--epochs-fc=2", "--steps-per-epoch=40",
     ])
 
 
@@ -70,7 +70,7 @@ def chaotic_report(tmp_path_factory):
     return main([
         "--preset=mini", "--platform=cpu", "--ensemble=4", "--system=chaotic",
         "--rollout-steps=16", f"--out={out}",
-        "--epochs-interp=4", "--epochs-fc=2", "--steps-per-epoch=40",
+        "--epochs-interp=8", "--epochs-fc=2", "--steps-per-epoch=40",
     ])
 
 
