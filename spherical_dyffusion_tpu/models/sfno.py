@@ -69,6 +69,10 @@ class SFNOConfig:
     pos_embed: bool = True
     big_skip: bool = True
     normalization_layer: str = "instance_norm"  # "instance_norm" | "layer_norm" | "none"
+    # exact two-pass norm statistics (torch-bit-matching) instead of the
+    # one-pass fused form (+15% end-to-end); auto-selected True for loaded
+    # reference checkpoints by the ckpt translator, like gelu_exact
+    exact_norm: bool = False
     hard_thresholding_fraction: float = 1.0
     dropout_mlp: float = 0.0
     dropout_filter: float = 0.0
@@ -367,9 +371,9 @@ class FNOBlock(nn.Module):
     def _norm(self, name: str, shape: Tuple[int, int]):
         cfg = self.cfg
         if cfg.normalization_layer == "instance_norm":
-            return InstanceNorm2d(cfg.embed_dim, name=name)
+            return InstanceNorm2d(cfg.embed_dim, exact=cfg.exact_norm, name=name)
         if cfg.normalization_layer == "layer_norm":
-            return SpatialLayerNorm(shape, name=name)
+            return SpatialLayerNorm(shape, exact=cfg.exact_norm, name=name)
         if cfg.normalization_layer == "none":
             return lambda x: x
         raise ValueError(f"Unknown normalization {cfg.normalization_layer!r}")

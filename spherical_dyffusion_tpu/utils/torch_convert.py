@@ -313,6 +313,11 @@ def translate_reference_hparams(hparams: Dict[str, Any]) -> Dict[str, Any]:
     # checkpoints must run the exact form for activation parity.
     if str(model_cfg.get("activation_function", "gelu")) == "gelu":
         model_cfg["activation_function"] = "gelu_exact"
+    # same parity rule for norm statistics: the fast one-pass E[x^2]-E[x]^2
+    # form can deviate ~1e-3 from torch's two-pass variance when activation
+    # means are large relative to their spread; reference checkpoints run
+    # the exact form.
+    model_cfg.setdefault("exact_norm", True)
     out["model"] = model_cfg
 
     dm_cfg = dict(hparams.get("datamodule_config", {}) or {})

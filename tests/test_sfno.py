@@ -319,3 +319,40 @@ def test_quantized_dropout_statistics():
             rngs={"dropout": jax.random.PRNGKey(1)})
     )
     assert abs((y3 != 0).mean() - 0.5) < 0.05
+
+
+def test_norm_one_pass_vs_exact():
+    """The fast one-pass norm (E[x^2]-E[x]^2, +15% end-to-end) must match the
+    exact two-pass torch form to f32 rounding in the realistic activation
+    regime, and the exact form must stay available for reference-checkpoint
+    parity (auto-selected by translate_reference_hparams)."""
+    from spherical_dyffusion_tpu.models.modules import InstanceNorm2d
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(2.0, 1.0, (2, 32, 64, 8)), jnp.float32
+    )
+    fast = InstanceNorm2d(features=8)
+    ex = InstanceNorm2d(features=8, exact=True)
+    p = fast.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(fast.apply(p, x)), np.asarray(ex.apply(p, x)), atol=1e-4
+    )
+    # exact path == f64 two-pass reference even in the cancellation regime
+    xs = jnp.asarray(
+        np.random.default_rng(1).normal(50.0, 0.5, (1, 32, 64, 4)), jnp.float32
+    )
+    ex4 = InstanceNorm2d(features=4, exact=True)
+    pe = ex4.init(jax.random.PRNGKey(0), xs)
+    y = np.asarray(ex4.apply(pe, xs))
+    xf = np.asarray(xs, np.float64)
+    mu = xf.mean((1, 2), keepdims=True)
+    va = ((xf - mu) ** 2).mean((1, 2), keepdims=True)
+    np.testing.assert_allclose(y, (xf - mu) / np.sqrt(va + 1e-6), atol=1e-3)
+    # ckpt translator opts reference checkpoints into the exact form
+    from spherical_dyffusion_tpu.utils.torch_convert import (
+        translate_reference_hparams,
+    )
+    cfg = translate_reference_hparams(
+        {"model_config": {"_target_": "x.SFNONet", "embed_dim": 16}}
+    )
+    assert cfg["model"]["exact_norm"] is True
