@@ -113,7 +113,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
     return stepper, in_names, forcing_names
 
 
-def product_bench(stepper, src, window, total_steps, n_ensemble, embed, layers):
+def product_bench(stepper, window, total_steps, n_ensemble, embed, layers):
     """Time the REAL inference product path (run_inference with aggregator and
     netCDF writer enabled), not just raw device windows."""
     import tempfile
@@ -308,7 +308,10 @@ def mesh_bench(embed, layers, window, total_steps, n_ensemble):
         stepper.exp, stepper.params["forecaster"],
         prescriber=stepper.prescriber, mesh=mesh,
     )
-    B = max(n_ensemble, data_ax)  # at least one row per data shard
+    # at least one row per data shard, rounded UP to a multiple of the data
+    # axis — a non-divisible batch silently falls back to replication in
+    # shard_rows, which would misrepresent the "sharded over data" claim below
+    B = -(-max(n_ensemble, data_ax) // data_ax) * data_ax
     x = jnp.zeros((B, 180, 360, 35), jnp.float32)
     x = stepper.shard_rows(x)
     t0 = time.time()
@@ -366,7 +369,7 @@ def main():
         # consuming every window (100MB/window host drains) — proves the
         # deferred-drain + prefetch pipeline overlaps host work with device
         # compute (time/* fractions in the output)
-        return product_bench(stepper, src, window, total_steps, n_ensemble,
+        return product_bench(stepper, window, total_steps, n_ensemble,
                              embed, layers)
 
     # drive windows directly and take the MEDIAN window time: the shared TPU

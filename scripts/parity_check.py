@@ -132,7 +132,8 @@ def compose_reference_hparams(
 
 
 def _random_torch_sfno_sd(img_shape, in_chans, out_chans, embed_dim,
-                          num_layers, horizon_times, seed) -> Dict[str, np.ndarray]:
+                          num_layers, horizon_times, seed,
+                          encoder_layers: int = 1) -> Dict[str, np.ndarray]:
     """Random SFNO weights in the reference torch state_dict naming, produced
     by initializing OUR flax SFNO and exporting via sfno_flax_to_torch (the
     naming is validated against a real torch file in test_torch_convert)."""
@@ -145,7 +146,7 @@ def _random_torch_sfno_sd(img_shape, in_chans, out_chans, embed_dim,
         img_shape=tuple(img_shape), in_chans=in_chans, out_chans=out_chans,
         embed_dim=embed_dim, num_layers=num_layers, with_time_emb=True,
         min_time=horizon_times[0], max_time=horizon_times[1],
-        activation_function="gelu_exact",
+        activation_function="gelu_exact", encoder_layers=encoder_layers,
     )
     model = SFNO(cfg)
     import jax.numpy as jnp
@@ -154,12 +155,14 @@ def _random_torch_sfno_sd(img_shape, in_chans, out_chans, embed_dim,
     variables = jax.jit(
         lambda r: model.init(r, x, time=jnp.zeros((1,), jnp.float32))
     )(jax.random.PRNGKey(seed))
-    return sfno_flax_to_torch(jax.device_get(variables))
+    return sfno_flax_to_torch(jax.device_get(variables),
+                              encoder_layers=encoder_layers)
 
 
 def fabricate_checkpoints(out_dir: str, embed_dim=16, num_layers=2,
                           horizon=6, img_shape=(16, 32), n_state_extra=3,
-                          with_ema: bool = True) -> dict:
+                          with_ema: bool = True,
+                          encoder_layers: int = 1) -> dict:
     """Write a reference-format (torch.save) interpolator + forecaster ckpt
     pair plus centering/scaling.nc stats; returns paths + composed facts."""
     import torch
@@ -193,12 +196,12 @@ def fabricate_checkpoints(out_dir: str, embed_dim=16, num_layers=2,
     # interpolator net: [x_end_state, x_last_state] + static forcing
     interp_sd = _random_torch_sfno_sd(
         img_shape, 2 * C_state + Cf, C_out, embed_dim, num_layers,
-        (1, horizon - 1), seed=1,
+        (1, horizon - 1), seed=1, encoder_layers=encoder_layers,
     )
     # forecaster net: x_t + initial-condition conditioning + static forcing
     fc_sd = _random_torch_sfno_sd(
         img_shape, 2 * C_state + Cf, C_out, embed_dim, num_layers,
-        (0, horizon - 1), seed=2,
+        (0, horizon - 1), seed=2, encoder_layers=encoder_layers,
     )
 
     def t(x):

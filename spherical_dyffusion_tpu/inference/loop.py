@@ -59,6 +59,15 @@ class InferenceConfig:
     # statistics either way; set "threefry" for cross-backend stream
     # reproducibility.
     rng_impl: str = "rbg"
+    # device-buffer upload cache size (distinct repeating-window contents kept
+    # resident; each entry is ~window-size targets+conditioning in HBM). When
+    # a repeating source produces MORE distinct wrapped-offset keys than this,
+    # the overflow windows re-upload every cycle — through the axon tunnel
+    # each such device_put also pins ~0.4GB host RAM (client leak), so a
+    # warning is printed with the distinct-key count. Align the source
+    # (n_timesteps a multiple of the window) or raise this cap to stay fully
+    # cached.
+    upload_cache_entries: int = 8
 
     @property
     def start_indices(self) -> Tuple[int, ...]:
@@ -230,7 +239,8 @@ def run_inference(
 
     src_n = source.n_timesteps
     _upload_cache: Dict[tuple, tuple] = {}
-    _CACHE_CAP = 8
+    _CACHE_CAP = int(cfg.upload_cache_entries)
+    _cache_skips = [0]  # windows whose key did not fit in the cache
 
     def _wkey(start_step: int, length: int):
         if cfg.n_repeats <= 1:
@@ -256,8 +266,11 @@ def run_inference(
                         ))
                         for ic in range(n_ic)
                     ]
-                    if key is not None and len(_upload_cache) < _CACHE_CAP:
-                        _upload_cache[("tgt", key)] = tgt_dev
+                    if key is not None:
+                        if len(_upload_cache) < _CACHE_CAP:
+                            _upload_cache[("tgt", key)] = tgt_dev
+                        else:
+                            _cache_skips[0] += 1
             yield start_step, data, tgt_dev
 
     it = prefetched(_with_targets(iter(windows)), depth=2)
@@ -326,9 +339,12 @@ def run_inference(
                 mask_rows = jnp.repeat(
                     jnp.asarray(_ic_view(data[mask_name]), jnp.float32), E, axis=0
                 )
-            if cond_key is not None and len(_upload_cache) < _CACHE_CAP:
-                _upload_cache[("cond", cond_key)] = (
-                    forcing_rows, tgt_rows, mask_rows)
+            if cond_key is not None:
+                if len(_upload_cache) < _CACHE_CAP:
+                    _upload_cache[("cond", cond_key)] = (
+                        forcing_rows, tgt_rows, mask_rows)
+                else:
+                    _cache_skips[0] += 1
 
         # device batch = n_ic * E rows, run in HBM-bounded chunks (reference
         # num_predictions_in_memory); one chunk covering all rows is one
@@ -388,10 +404,20 @@ def run_inference(
     timers["writer_and_aggregator"] += time.time() - t0
 
     duration = time.time() - t_start
+    if _cache_skips[0]:
+        print(
+            f"[run_inference] upload cache overflow: {_cache_skips[0]} "
+            f"window uploads exceeded upload_cache_entries={_CACHE_CAP} and "
+            "were re-uploaded each cycle (through the axon tunnel each such "
+            "upload also pins host RAM). Align source n_timesteps to the "
+            "window or raise InferenceConfig.upload_cache_entries.",
+            flush=True,
+        )
     summary = {
         "n_forward_steps": n_done,
         "duration_s": duration,
         "total_steps_per_second": n_done * n_ic * E / duration,
+        "upload_cache_skips": _cache_skips[0],
         **{f"time/{k}": v for k, v in timers.items()},
     }
     return summary

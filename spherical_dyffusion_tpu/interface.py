@@ -405,12 +405,12 @@ def load_reference_checkpoint(
             ema_backbone_state_dict(parts["backbone"], parts["ema"], "")
             if parts["ema"] else None
         )
+        arch_bb = infer_sfno_architecture(parts["backbone"])
         ema_vars = (
             _merge_converted(
                 template,
                 sfno_torch_to_flax(
-                    ema_sd,
-                    infer_sfno_architecture(parts["backbone"])["num_layers"],
+                    ema_sd, arch_bb["num_layers"], arch_bb["encoder_layers"],
                 ),
             ) if ema_sd else None
         )
@@ -473,12 +473,12 @@ def load_reference_checkpoint(
         ema_backbone_state_dict(parts["backbone"], parts["ema"], "model.")
         if parts["ema"] else None
     )
+    arch_bb = infer_sfno_architecture(parts["backbone"])
     ema_vars = (
         _merge_converted(
             fc_template,
             sfno_torch_to_flax(
-                ema_sd,
-                infer_sfno_architecture(parts["backbone"])["num_layers"],
+                ema_sd, arch_bb["num_layers"], arch_bb["encoder_layers"],
             ),
         ) if ema_sd else None
     )

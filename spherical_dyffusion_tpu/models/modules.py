@@ -107,18 +107,22 @@ class SpatialLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: (..., H, W, C) — normalize jointly over (H, W) per channel slice.
-        # One-pass sibling reductions by default (see InstanceNorm2d note).
-        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        # One-pass sibling reductions by default (see InstanceNorm2d note);
+        # f32 statistics under mixed precision (one-pass cancellation in
+        # bf16 would clamp var to 0 for even modest |mean|/std).
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
         if self.exact:
-            var = jnp.mean(jnp.square(x - mean), axis=(-3, -2), keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=(-3, -2), keepdims=True)
         else:
-            mean_sq = jnp.mean(jnp.square(x), axis=(-3, -2), keepdims=True)
+            mean_sq = jnp.mean(jnp.square(xf), axis=(-3, -2), keepdims=True)
             var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         h, w = self.spatial_shape
         scale = self.param("scale", nn.initializers.ones, (h, w, 1))
         bias = self.param("bias", nn.initializers.zeros, (h, w, 1))
-        return y * scale + bias
+        return (y * scale + bias).astype(dtype)
 
 
 class QuantizedDropout(nn.Module):

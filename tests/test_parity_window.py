@@ -156,3 +156,38 @@ def test_run_inference_cli_on_reference_torch_ckpt(fabricated, tmp_path):
 
     vals = [v for v in out["logs"].values()]
     assert vals and all(np.isfinite(v) for v in vals)
+
+
+def test_deep_encoder_ema_conversion(tmp_path_factory):
+    """Regression: EMA shadow conversion must honor the INFERRED
+    encoder_layers (it used to default to 1), otherwise an encoder_layers=2
+    checkpoint maps encoder.2 (the second hidden conv) as encoder_out and
+    drops encoder_1/decoder_1 from the EMA tree entirely."""
+    import jax
+
+    from spherical_dyffusion_tpu.interface import load_experiment_checkpoint
+
+    if not os.path.isdir(os.environ.get(
+            "REFERENCE_CONFIG_DIR", "/root/reference/src/configs")):
+        pytest.skip("reference configs not available")
+    pc = _load_parity_check()
+    out = str(tmp_path_factory.mktemp("deep_enc"))
+    facts = pc.fabricate_checkpoints(
+        out, embed_dim=8, num_layers=1, horizon=3, img_shape=(8, 16),
+        n_state_extra=2, encoder_layers=2,
+    )
+    exp, params, ema_params, config = load_experiment_checkpoint(
+        facts["forecaster"],
+        overrides={"datamodule": {"data_dir_stats": facts["stats"]},
+                   "diffusion": {"enable_interpolator_dropout": False}},
+    )
+    assert ema_params is not None
+    flat_live = jax.tree_util.tree_leaves_with_path(params["params"])
+    flat_ema = dict(jax.tree_util.tree_leaves_with_path(ema_params["params"]))
+    # every live leaf (incl. encoder_1/decoder_1) has an EMA shadow at +1e-3
+    assert len(flat_ema) == len(flat_live)
+    for path, leaf in flat_live:
+        np.testing.assert_allclose(
+            np.asarray(flat_ema[path]) - np.asarray(leaf), 1e-3, rtol=1e-4,
+            err_msg=str(path),
+        )
