@@ -348,7 +348,11 @@ def main():
     # float32 arrays + XLA default matmul precision = bf16 MXU passes with
     # f32 accumulation and no explicit convert ops — ~2x faster than manually
     # casting activations to bf16 (measured: 954 vs 494 sim-yr/day)
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    # bfloat16 compute measured +15.5% (the window program is HBM-bandwidth
+    # bound; bf16 halves the bytes) and scientifically equivalent on the
+    # trained skill model (results/precision_bf16: RMSE/CRPS within 0.02%,
+    # SSR within 0.22%, rollout stability unchanged). float32 reverts.
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     fold = os.environ.get("BENCH_FOLD", "0") == "1"
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     # BENCH_MERGED=1: single merged-GEMM dhconv (measured ~3% slower on v5e)

@@ -64,6 +64,10 @@ def main(argv=None) -> dict:
     # modal flow, POSITIVE Lyapunov exponent — the regime where the
     # reference's interpolator-dropout spread mechanism operates on FV3GFS)
     ap.add_argument("--system", choices=["ou", "chaotic"], default="ou")
+    # compute dtype for both networks (params stay f32): bfloat16 measured
+    # +15.5% end-to-end on the paper inference config; use with --reuse for
+    # an eval-only precision study against the recorded f32 metrics
+    ap.add_argument("--dtype", default="float32")
     args = ap.parse_args(argv)
 
     import jax
@@ -147,6 +151,7 @@ def main(argv=None) -> dict:
         img_shape=(P["height"], P["width"]), in_chans=2 * C, out_chans=C,
         embed_dim=P["embed"], num_layers=P["layers"], with_time_emb=True,
         dropout_mlp=P["dropout"], min_time=1, max_time=HORIZON - 1,
+        compute_dtype=args.dtype, sht_matmul_dtype=args.dtype,
     ))
     interp = InterpolationExperiment(imodel, icfg, dm.in_packer, dm.out_packer,
                                      dm.normalizer)
@@ -229,6 +234,7 @@ def main(argv=None) -> dict:
         img_shape=(P["height"], P["width"]), in_chans=2 * C, out_chans=C,
         embed_dim=P["embed"], num_layers=P["layers"], with_time_emb=True,
         min_time=0, max_time=HORIZON - 1,
+        compute_dtype=args.dtype, sht_matmul_dtype=args.dtype,
     ))
     fexp = DYffusionForecastingExperiment(
         fmodel, interp, ip_params, dcfg,
