@@ -86,7 +86,8 @@ def main():
     from bench import build
     from spherical_dyffusion_tpu.data import SyntheticTimeSeries
 
-    stepper, in_names, forcing_names = build(args.embed, args.layers)
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")  # match bench default
+    stepper, in_names, forcing_names = build(args.embed, args.layers, dtype)
     W = args.window
     src = SyntheticTimeSeries(in_names + forcing_names + ["ocean_fraction"],
                               n_timesteps=W + 1, spatial_shape=(180, 360))
