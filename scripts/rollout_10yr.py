@@ -45,6 +45,9 @@ def main(argv=None):
                     help="also persist predictions via the netCDF writer "
                          "(tunnel-bandwidth bound; off by default)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="compute dtype (bfloat16 default matches bench; "
+                         "equivalence study in results/precision_bf16)")
     args = ap.parse_args(argv)
 
     import jax
@@ -69,7 +72,8 @@ def main(argv=None):
     )
 
     os.makedirs(args.out, exist_ok=True)
-    stepper, in_names, forcing_names = build(args.embed, args.layers)
+    stepper, in_names, forcing_names = build(args.embed, args.layers,
+                                             args.dtype)
     names = in_names + forcing_names + ["ocean_fraction"]
     # n_timesteps == window aligns the repeating reads: every window's wrapped
     # offsets coincide, so the per-window forcing/target uploads hit the
