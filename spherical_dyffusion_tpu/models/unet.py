@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .modules import TimeEmbedMLP
+from .modules import QuantizedDropout, TimeEmbedMLP
 
 __all__ = ["UNetConfig", "UNet"]
 
@@ -82,7 +82,7 @@ class ConvBlock(nn.Module):
             x = x * (scale + 1.0) + shift
         x = nn.silu(x)
         if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = QuantizedDropout(self.dropout)(x, deterministic=deterministic)
         return x
 
 
@@ -134,7 +134,7 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
         h_in = x
         if self.dropout > 0.0:
-            h_in = nn.Dropout(self.dropout)(h_in, deterministic=deterministic)
+            h_in = QuantizedDropout(self.dropout)(h_in, deterministic=deterministic)
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(h_in)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = _split_heads(q, self.heads)  # (B, N, h, d)
@@ -170,7 +170,7 @@ class FullAttention(nn.Module):
         sim = jnp.einsum("bihd,bjhd->bhij", q, k)
         attn = jax.nn.softmax(sim, axis=-1)
         if self.dropout > 0.0:
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            attn = QuantizedDropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v)
         out = out.reshape(B, H, W, hidden)
         return nn.Conv(self.dim, (1, 1))(out)
@@ -246,8 +246,8 @@ class UNet(nn.Module):
         x = nn.Conv(cfg.dim, (k, k), padding="SAME", name="init_conv")(x)
         r = x
         if cfg.input_dropout > 0.0:
-            x = nn.Dropout(cfg.input_dropout)(x, deterministic=deterministic)
-            r = nn.Dropout(cfg.input_dropout)(r, deterministic=deterministic)
+            x = QuantizedDropout(cfg.input_dropout)(x, deterministic=deterministic)
+            r = QuantizedDropout(cfg.input_dropout)(r, deterministic=deterministic)
 
         t = None
         if cfg.with_time_emb:

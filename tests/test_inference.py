@@ -458,3 +458,37 @@ def test_rollout_rbg_hardware_rng_deterministic_and_divergent():
     assert np.all(np.isfinite(np.asarray(p1)))
     # dropout masks differ per batch row -> members diverge
     assert not np.allclose(np.asarray(p1[0]), np.asarray(p1[1]))
+
+
+def test_upload_cache_overflow_is_reported():
+    """When a repeating source produces more distinct wrapped-offset keys
+    than upload_cache_entries, the overflow must be surfaced in the summary
+    (each uncached upload pins host RAM through the tunnel client) rather
+    than silently re-uploading."""
+    HORIZON = 4
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=HORIZON,
+                         n_forcing=1, batch_size=8, n_timesteps=64)
+    exp, params = _train_tiny_dyffusion(dm, HORIZON)
+    stepper = DYffusionStepper(exp, params)
+    W = 2 * HORIZON
+    names = list(dm.cfg.in_names) + list(dm.cfg.forcing_names)
+    # source NOT aligned to the window -> wrapped offsets differ per cycle
+    src = SyntheticTimeSeries(names, n_timesteps=3 * W + 2,
+                              spatial_shape=(8, 16))
+    agg = InferenceAggregator(list(dm.cfg.out_names),
+                              dm.grid.horizontal.area_weights())
+    summary = run_inference(
+        stepper, src,
+        InferenceConfig(n_forward_steps=12 * W, forward_steps_in_memory=W,
+                        n_repeats=8, upload_cache_entries=1),
+        aggregator=agg, verbose=False,
+    )
+    assert summary["upload_cache_skips"] > 0
+    # with a big enough cache the same run reports zero skips
+    summary2 = run_inference(
+        stepper, src,
+        InferenceConfig(n_forward_steps=12 * W, forward_steps_in_memory=W,
+                        n_repeats=8, upload_cache_entries=64),
+        aggregator=agg, verbose=False,
+    )
+    assert summary2["upload_cache_skips"] == 0
