@@ -57,7 +57,7 @@ def mkkey(i: int):
 
 
 def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
-          merged_dhconv=False):
+          merged_dhconv=False, params_dtype=None, preds_dtype=None):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -109,7 +109,9 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         forcing_names=forcing_names, forcing_normalizer=fnorm,
     )
     prescriber = PrescriberConfig("surface_temperature", "ocean_fraction", 1).build(in_names)
-    stepper = DYffusionStepper(exp, fc_params, prescriber=prescriber)
+    stepper = DYffusionStepper(exp, fc_params, prescriber=prescriber,
+                               params_dtype=params_dtype,
+                               preds_dtype=preds_dtype)
     return stepper, in_names, forcing_names
 
 
@@ -357,6 +359,15 @@ def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     # BENCH_MERGED=1: single merged-GEMM dhconv (measured ~3% slower on v5e)
     merged = os.environ.get("BENCH_MERGED", "0") == "1"
+    # BENCH_PARAM_DTYPE: weight-STORAGE dtype for the rollout (cast once at
+    # stepper build). Under bf16 compute the weights are cast to bf16 at use
+    # anyway, so bf16 storage is numerically identical and halves the weight
+    # HBM reads. Empty = params stay float32.
+    params_dtype = os.environ.get("BENCH_PARAM_DTYPE", "") or None
+    # BENCH_PREDS_DTYPE: dtype of the EMITTED window predictions (halves their
+    # HBM residency — the ensemble-4 OOM driver — and the writer fetch bytes;
+    # the AR hand-off stays full precision). Empty = same as activations.
+    preds_dtype = os.environ.get("BENCH_PREDS_DTYPE", "") or None
 
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         return train_bench(embed, layers, window)
@@ -364,7 +375,7 @@ def main():
         return mesh_bench(embed, layers, window, total_steps, n_ensemble)
 
     stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas,
-                                             merged)
+                                             merged, params_dtype, preds_dtype)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 

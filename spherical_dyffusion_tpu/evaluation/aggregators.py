@@ -57,14 +57,17 @@ class TimeMeanAggregator:
         # drown in rounding; the running mean stays at field magnitude
         # (reference accumulates per-window means for the same reason,
         # time_mean.py:17-214).
+        # .astype(f32): preds may arrive in the stepper's narrowed emit dtype
+        # (preds_dtype="bfloat16") — read the bf16 bytes, ACCUMULATE in f32
         self._accum = jax.jit(
             lambda pm, tm, p, t, frac: (
-                pm + (jnp.mean(p, axis=-4) - pm) * frac,
-                tm + (jnp.mean(t, axis=0) - tm) * frac,
+                pm + (jnp.mean(p.astype(jnp.float32), axis=-4) - pm) * frac,
+                tm + (jnp.mean(t.astype(jnp.float32), axis=0) - tm) * frac,
             )
         )
         self._mean0 = jax.jit(
-            lambda p, t: (jnp.mean(p, axis=-4), jnp.mean(t, axis=0))
+            lambda p, t: (jnp.mean(p.astype(jnp.float32), axis=-4),
+                          jnp.mean(t.astype(jnp.float32), axis=0))
         )
 
     def record(self, preds, targets):
@@ -129,6 +132,8 @@ def _window_tables(preds, targets, w, norm_stats=None):
     -> dict of (T, C) tables. With ``norm_stats`` = (means, stds), the
     ``*_normed`` variants on standardized fields are added (reference
     MeanAggregator's lazy `_normed` metric dict, timestepwise.py:26-214)."""
+    preds = preds.astype(jnp.float32)  # may arrive in the stepper emit dtype
+    targets = targets.astype(jnp.float32)
     wc = w[..., None]
     ens_mean = jnp.mean(preds, axis=0)
     out = {
@@ -219,8 +224,8 @@ class SnapshotAggregator:
                 # fetch ONLY the selected timestep (one (H, W, C) slice), not
                 # the whole window
                 self.snapshots[s] = {
-                    "preds": np.asarray(preds[local]),
-                    "targets": np.asarray(targets[local]),
+                    "preds": np.asarray(preds[local], dtype=np.float32),
+                    "targets": np.asarray(targets[local], dtype=np.float32),
                 }
 
 
@@ -234,8 +239,9 @@ class ZonalMeanAggregator:
         self._tgt_rows: List[jax.Array] = []
         self._fn = jax.jit(
             lambda p, t: (
-                (p.mean(axis=0) if p.ndim == 5 else p).mean(axis=-2),
-                t.mean(axis=-2),
+                (p.mean(axis=0) if p.ndim == 5 else p)
+                .astype(jnp.float32).mean(axis=-2),
+                t.astype(jnp.float32).mean(axis=-2),
             )
         )
 
@@ -291,6 +297,10 @@ class InferenceAggregator:
         norm_stats = self.reduced._norm_stats
 
         def fused(pmean, tmean, preds, targets, frac):
+            # bf16-emitted preds (stepper preds_dtype): read the narrow bytes,
+            # reduce/accumulate in f32
+            preds = preds.astype(jnp.float32)
+            targets = targets.astype(jnp.float32)
             tables = _window_tables(preds, targets, w, norm_stats)
             # running-mean update (see TimeMeanAggregator: bounded magnitudes
             # keep f32 accumulation accurate over multi-year rollouts)

@@ -149,6 +149,14 @@ class InferenceWindows:
             step += n
 
 
+# denormalize the emitted window IN its emitted dtype (bf16 preds stay bf16 —
+# f32 stats must not promote them) as one jitted program instead of two eager
+# tunnel dispatches
+@jax.jit
+def _denorm_cast(x, stds, means):
+    return (x * stds + means).astype(x.dtype)
+
+
 def run_inference(
     stepper: DYffusionStepper,
     source: TimeSeriesSource,
@@ -286,6 +294,10 @@ def run_inference(
         preds_raw_host = (
             np.asarray(preds_raw) if writer is not None else None
         )  # (n_ic * E, T, H, W, C)
+        if preds_raw_host is not None and preds_raw_host.dtype != np.float32:
+            # bf16-emitted preds cross the tunnel at half the bytes; h5py
+            # writers need a standard dtype, so upcast AFTER the fetch
+            preds_raw_host = preds_raw_host.astype(np.float32)
         for ic in range(n_ic):
             if aggregator is not None:
                 aggregator.record_batch(
@@ -375,10 +387,13 @@ def run_inference(
             # denormalize on device; defer host materialization until AFTER
             # the NEXT window has been dispatched, so host-side aggregation
             # overlaps with device compute (async dispatch pipelining)
-            pending.append(
-                (out_norm.denormalize(preds_norm), data, tgt_dev, start_step,
-                 n_steps)
-            )
+            # keep the emitted dtype through denormalization (f32 stats would
+            # silently promote bf16 preds back to f32, undoing the residency/
+            # fetch savings of DYffusionStepper.preds_dtype); aggregators
+            # upcast to f32 inside their jitted reductions. One jitted call
+            # instead of two eager tunnel dispatches.
+            denorm = _denorm_cast(preds_norm, out_norm.stds, out_norm.means)
+            pending.append((denorm, data, tgt_dev, start_step, n_steps))
         else:
             # nothing consumes the predictions: only the carried state matters
             # (pure-throughput benchmarking); avoid 100MB/window transfers

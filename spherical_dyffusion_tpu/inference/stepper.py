@@ -50,6 +50,8 @@ class DYffusionStepper:
         ema_params=None,
         mesh=None,
         inputs_noise: Optional[float] = None,
+        params_dtype: Optional[str] = None,
+        preds_dtype: Optional[str] = None,
     ):
         """``use_ema_params`` selects the forecaster's EMA tree (``ema_params``)
         for the rollout, the reference MultiStepStepper semantics; the
@@ -80,6 +82,22 @@ class DYffusionStepper:
                 getattr(experiment, "interpolator_params", None),
             ),
         }
+        # Half-precision weight STORAGE for the rollout (inference only).
+        # With compute_dtype=bfloat16 every weight/constant is cast to bf16
+        # at its point of use anyway (flax dtype args / matmul_dtype casts),
+        # so pre-storing the tree in bf16 is numerically identical while
+        # halving the HBM bytes the (bandwidth-bound) window program reads
+        # per layer — the embed-256 dhconv weight alone is 47MB/layer in f32.
+        # Pair with compute_dtype/sht_matmul_dtype of the same width; under
+        # f32 compute the upcast re-introduces the storage rounding.
+        if params_dtype:
+            pd = jnp.dtype(params_dtype)
+            self.params = jax.tree_util.tree_map(
+                lambda a: a.astype(pd)
+                if (hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating))
+                else a,
+                self.params,
+            )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -99,6 +117,13 @@ class DYffusionStepper:
             if inputs_noise is not None
             else getattr(experiment.cfg, "prediction_inputs_noise", 0.0) or 0.0
         )
+        # dtype of the EMITTED per-step predictions (the (B, n_steps, H, W, C)
+        # window buffer). "bfloat16" halves the dominant HBM residency of long
+        # windows (the ensemble-4 x window-96 OOM driver) and the per-window
+        # device->host fetch bytes in the writer path. The autoregressive
+        # hand-off state always stays full precision — only the emitted COPY
+        # is rounded, so rollout trajectories are unchanged.
+        self.preds_dtype = jnp.dtype(preds_dtype) if preds_dtype else None
         self.horizon = experiment.cfg.horizon
         in_names = list(experiment.in_packer.names)
         out_names = list(experiment.out_packer.names)
@@ -125,6 +150,7 @@ class DYffusionStepper:
         out_idx = jnp.asarray(self._out_idx)
         carry_idx = jnp.asarray(self._carry_idx)
         has_prescriber = not isinstance(prescriber, NullPrescriber)
+        preds_dtype = self.preds_dtype
 
         # the scan-form sampler compiles ~5x faster and is mathematically
         # identical for the default (released-model) configuration
@@ -165,6 +191,10 @@ class DYffusionStepper:
             x_next = x_next.at[..., out_idx].set(last)
             if carry_idx.size:
                 x_next = x_next.at[..., carry_idx].set(x[..., carry_idx])
+            # the hand-off (`last`) above was taken from the full-precision
+            # preds; only the emitted copy is narrowed
+            if preds_dtype is not None:
+                preds = preds.astype(preds_dtype)
             return x_next, preds
 
         def rollout(params, x0, forcings, tgts, masks, rng, noise_scale):

@@ -59,6 +59,8 @@ class PredictionWriter:
     def append(self, preds: np.ndarray, targets: Optional[np.ndarray] = None):
         """preds: (E, T, H, W, C); targets: (T, H, W, C)."""
         preds = np.asarray(preds)
+        if preds.dtype not in (np.float32, np.float64):
+            preds = preds.astype(np.float32)  # e.g. bf16-emitted preds
         T = preds.shape[1]
         for i, n in enumerate(self.names):
             d = self._dsets[n]

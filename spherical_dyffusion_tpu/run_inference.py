@@ -55,7 +55,9 @@ def main_from_config(cfg: dict) -> dict:
         mask_name = pc.mask_name
 
     stepper = DYffusionStepper(exp, params, prescriber=prescriber,
-                               use_ema_params=use_ema, ema_params=ema_params)
+                               use_ema_params=use_ema, ema_params=ema_params,
+                               params_dtype=cfg.get("params_dtype"),
+                               preds_dtype=cfg.get("preds_dtype"))
 
     loader_cfg = cfg.get("validation_loader", {})
     data_path = loader_cfg.get("dataset", {}).get("data_path")

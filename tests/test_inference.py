@@ -460,6 +460,81 @@ def test_rollout_rbg_hardware_rng_deterministic_and_divergent():
     assert not np.allclose(np.asarray(p1[0]), np.asarray(p1[1]))
 
 
+def test_params_dtype_bf16_storage_close_to_f32():
+    """bf16 weight STORAGE (params_dtype="bfloat16") must track the f32 tree:
+    weights are cast at use anyway under bf16 compute, so pre-cast storage
+    only rounds each weight once. Checked on a deterministic window."""
+    HORIZON = 4
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=HORIZON,
+                         n_forcing=1, batch_size=8, n_timesteps=64)
+    exp, params = _train_tiny_dyffusion(dm, HORIZON)
+    s32 = DYffusionStepper(exp, params)
+    s16 = DYffusionStepper(exp, params, params_dtype="bfloat16")
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.bfloat16
+    x0 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 8, 16, 2)), jnp.float32
+    )
+    forcing = jnp.zeros((1, HORIZON + 1, 8, 16, 1), jnp.float32)
+    rng = jax.random.PRNGKey(7)
+    y32, p32 = s32.run_window(x0, forcing, None, None, rng, HORIZON)
+    y16, p16 = s16.run_window(x0, forcing, None, None, rng, HORIZON)
+    p32, p16 = np.asarray(p32), np.asarray(p16)
+    assert np.isfinite(p16).all()
+    # same rng -> same dropout masks; the only difference is one bf16
+    # rounding per weight (relative ~4e-3), amplified by the rollout depth
+    denom = np.maximum(np.abs(p32), 1e-3)
+    assert np.median(np.abs(p16 - p32) / denom) < 0.05
+
+    # preds_dtype narrows only the EMITTED copy: the hand-off state (the
+    # next-window initial condition) must stay full precision and identical
+    sp = DYffusionStepper(exp, params, preds_dtype="bfloat16")
+    yp, pp = sp.run_window(x0, forcing, None, None, rng, HORIZON)
+    assert pp.dtype == jnp.bfloat16
+    assert yp.dtype == y32.dtype
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(y32), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(pp, dtype=np.float32), p32, atol=0.03, rtol=0.05
+    )
+
+
+def test_preds_dtype_bf16_full_product_path(tmp_path):
+    """run_inference with bf16-emitted preds: aggregator reduces in f32 from
+    the narrow buffer, writer upcasts after the fetch, metrics finite and
+    close to the f32-emit run."""
+    HORIZON = 4
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=HORIZON,
+                         n_forcing=1, batch_size=8, n_timesteps=64)
+    exp, params = _train_tiny_dyffusion(dm, HORIZON)
+    src = dm._src
+
+    def product(preds_dtype):
+        stepper = DYffusionStepper(exp, params, preds_dtype=preds_dtype)
+        agg = InferenceAggregator(list(dm.cfg.out_names),
+                                  dm.grid.horizontal.area_weights())
+        writer = PredictionWriter(
+            str(tmp_path / f"p_{preds_dtype}.nc"), dm.cfg.out_names,
+            dm.grid.horizontal.lat, dm.grid.horizontal.lon, n_ensemble=2)
+        run_inference(stepper, src,
+                      InferenceConfig(n_forward_steps=12,
+                                      forward_steps_in_memory=8, n_ensemble=2),
+                      aggregator=agg, writer=writer, verbose=False)
+        writer.close()
+        return agg.get_logs()
+
+    logs16 = product("bfloat16")
+    logs32 = product(None)
+    assert np.isfinite(logs16["inference/avg/rmse"])
+    assert logs16["inference/avg/rmse"] == pytest.approx(
+        logs32["inference/avg/rmse"], rel=0.02)
+    import h5py
+
+    with h5py.File(tmp_path / "p_bfloat16.nc") as f:
+        assert f["var_0"].dtype == np.float32
+        assert np.isfinite(f["var_0"][()]).all()
+
+
 def test_upload_cache_overflow_is_reported():
     """When a repeating source produces more distinct wrapped-offset keys
     than upload_cache_entries, the overflow must be surfaced in the summary
