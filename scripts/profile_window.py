@@ -87,7 +87,11 @@ def main():
     from spherical_dyffusion_tpu.data import SyntheticTimeSeries
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")  # match bench default
-    stepper, in_names, forcing_names = build(args.embed, args.layers, dtype)
+    stepper, in_names, forcing_names = build(
+        args.embed, args.layers, dtype,
+        params_dtype=os.environ.get("BENCH_PARAM_DTYPE", "") or None,
+        preds_dtype=os.environ.get("BENCH_PREDS_DTYPE", "") or None,
+    )
     W = args.window
     src = SyntheticTimeSeries(in_names + forcing_names + ["ocean_fraction"],
                               n_timesteps=W + 1, spatial_shape=(180, 360))

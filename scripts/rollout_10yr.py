@@ -48,6 +48,13 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16",
                     help="compute dtype (bfloat16 default matches bench; "
                          "equivalence study in results/precision_bf16)")
+    ap.add_argument("--params-dtype", default=None,
+                    help="weight STORAGE dtype (bfloat16 halves weight HBM "
+                         "reads; identical numerics under bf16 compute)")
+    ap.add_argument("--preds-dtype", default=None,
+                    help="emitted-prediction dtype (bfloat16 halves the "
+                         "resident window buffer + fetch bytes; the AR "
+                         "hand-off stays full precision)")
     args = ap.parse_args(argv)
 
     import jax
@@ -73,7 +80,9 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     stepper, in_names, forcing_names = build(args.embed, args.layers,
-                                             args.dtype)
+                                             args.dtype,
+                                             params_dtype=args.params_dtype,
+                                             preds_dtype=args.preds_dtype)
     names = in_names + forcing_names + ["ocean_fraction"]
     # n_timesteps == window aligns the repeating reads: every window's wrapped
     # offsets coincide, so the per-window forcing/target uploads hit the

@@ -23,6 +23,24 @@ def test_bench_builds_tiny_stepper(monkeypatch):
     assert np.isfinite(np.asarray(preds)).all()
 
 
+def test_bench_builds_with_dtype_narrowing():
+    """The BENCH_PARAM_DTYPE / BENCH_PREDS_DTYPE plumbing: bf16 weight
+    storage + bf16-emitted preds through the bench builder."""
+    sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+    stepper, _, _ = bench.build(embed=8, layers=1, dtype="bfloat16",
+                                params_dtype="bfloat16",
+                                preds_dtype="bfloat16")
+    x = jnp.zeros((1, 180, 360, 35))
+    f = jnp.zeros((1, 7, 180, 360, 2))
+    sst = jnp.zeros((1, 7, 180, 360))
+    mask = jnp.zeros((1, 180, 360))
+    xf, preds = stepper.run_window(x, f, sst, mask, jax.random.PRNGKey(0), 6)
+    assert preds.dtype == jnp.bfloat16
+    assert xf.dtype == x.dtype
+    assert np.isfinite(np.asarray(preds, dtype=np.float32)).all()
+
+
 def test_graft_entry_builds():
     sys.path.insert(0, "/root/repo")
     g = importlib.import_module("__graft_entry__")
