@@ -188,6 +188,104 @@ def product_bench(stepper, window, total_steps, n_ensemble, embed, layers):
     }))
 
 
+def ace_bench(embed, layers, window, total_steps, dtype):
+    """BENCH_ACE=1: paper-scale ACE single-module stepper rollout — the
+    reference's comparison baseline (hot loop
+    src/ace_inference/core/stepper.py:529-560, python-stepped there; here the
+    whole window is one lax.scan program with the dry-air-conservation
+    corrector and the prescribed ocean fused into the scan body)."""
+    from spherical_dyffusion_tpu.data.coords import SigmaCoordinates
+    from spherical_dyffusion_tpu.evaluation.metrics import spherical_area_weights
+    from spherical_dyffusion_tpu.inference.ace_stepper import (
+        SingleStepStepper,
+        SingleStepStepperConfig,
+    )
+    from spherical_dyffusion_tpu.inference.corrector import CorrectorConfig
+    from spherical_dyffusion_tpu.inference.ocean import OceanConfig
+
+    H, W = 180, 360
+    K = 8  # vertical water levels (reference ACE: 8 sigma levels)
+    out_names = (
+        ["PRESsfc", "surface_temperature"]
+        + [f"specific_total_water_{k}" for k in range(K)]
+        + [f"v{i}" for i in range(25)]
+    )  # 35 prognostic channels, paper width
+    in_names = out_names + ["DSWRFtoa"]
+    all_names = in_names + ["ocean_fraction"]
+
+    model = SFNO(SFNOConfig(
+        img_shape=(H, W), in_chans=len(in_names), out_chans=len(out_names),
+        embed_dim=embed, num_layers=layers, operator_type="dhconv",
+        data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
+    ))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, len(in_names)))
+    )
+
+    def model_fn(p, x_norm):
+        return model.apply(p, x_norm)
+
+    # realistic magnitudes: water ~1e-3 (specific humidity) keeps the dry-air
+    # denominator 1 - sum(bk_diff * q) away from zero under an untrained net
+    def _mean(n):
+        return 1e5 if n == "PRESsfc" else 1e-3 if "water" in n else 1.0
+
+    def _std(n):
+        return 1e3 if n == "PRESsfc" else 1e-4 if "water" in n else 0.5
+
+    norm = StandardNormalizer.from_dicts(
+        {n: _mean(n) for n in all_names}, {n: _std(n) for n in all_names},
+        all_names,
+    )
+    sigma = SigmaCoordinates(ak=np.linspace(0.0, 100.0, K + 1),
+                             bk=np.linspace(0.0, 1.0, K + 1))
+    area = spherical_area_weights(np.linspace(-89.5, 89.5, H), W)
+    cfg = SingleStepStepperConfig(
+        in_names=in_names, out_names=out_names,
+        corrector=CorrectorConfig(conserve_dry_air=True),
+        ocean=OceanConfig("surface_temperature", "ocean_fraction"),
+    )
+    stepper = SingleStepStepper(cfg, model_fn, params, norm, area, sigma)
+
+    rng = np.random.default_rng(0)
+    data = {
+        n: np.abs(rng.standard_normal((1, window + 1, H, W), np.float32)) + 1.0
+        for n in all_names
+    }
+    data["PRESsfc"] = 1e5 + 1e3 * data["PRESsfc"]
+    for n in all_names:
+        if "water" in n:
+            data[n] = 1e-3 * data[n]
+    data["ocean_fraction"] = (data["ocean_fraction"] > 1.8).astype(np.float32)
+    for n in all_names:
+        data[n] = data[n].astype(np.float32)
+
+    t0 = time.time()
+    out = stepper.run_on_batch(data, n_forward_steps=window)
+    jax.block_until_ready(out.metrics["loss"])
+    compile_s = time.time() - t0
+    times = []
+    n_windows = max(1, total_steps // window)
+    for _ in range(n_windows):
+        t0 = time.time()
+        out = stepper.run_on_batch(data, n_forward_steps=window)
+        jax.block_until_ready(out.metrics["loss"])
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    sps = window / med
+    sim_years_per_day = sps * 86400.0 / STEPS_PER_SIM_YEAR
+    finite = bool(np.isfinite(float(out.metrics["loss"])))
+    print(json.dumps({
+        "metric": "ace_simulated_years_per_day",
+        "value": round(sim_years_per_day, 1),
+        "unit": f"sim-years/day (ACE single-step stepper, SFNO {embed}x"
+                f"{layers}@{H}x{W} {dtype}, dry-air corrector + prescribed "
+                f"ocean in-scan, window {window}; {sps:.1f} steps/s, compile "
+                f"{compile_s:.0f}s, finite={finite})",
+        "vs_baseline": round(sim_years_per_day / BASELINE_SIM_YEARS_PER_DAY, 3),
+    }))
+
+
 def train_bench(embed, layers, window):
     """BENCH_TRAIN=1: paper-scale TRAINING step timings (reference logs
     per-step train time, _base_experiment.py:746,770-778).
@@ -373,6 +471,13 @@ def main():
         return train_bench(embed, layers, window)
     if os.environ.get("BENCH_MESH", "0") == "1":
         return mesh_bench(embed, layers, window, total_steps, n_ensemble)
+    if os.environ.get("BENCH_ACE", "0") == "1":
+        # ACE windows carry per-name (B, T+1, H, W) data; default to a
+        # smaller window than the DYffusion bench
+        ace_window = int(os.environ.get("BENCH_WINDOW", 12))
+        return ace_bench(embed, layers, ace_window,
+                         int(os.environ.get("BENCH_STEPS", 4 * ace_window)),
+                         dtype)
 
     stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas,
                                              merged, params_dtype, preds_dtype)

@@ -41,6 +41,22 @@ def test_bench_builds_with_dtype_narrowing():
     assert np.isfinite(np.asarray(preds, dtype=np.float32)).all()
 
 
+def test_ace_bench_mode_runs(capsys):
+    """BENCH_ACE mode: the ACE single-step stepper bench builds, scans the
+    corrector+ocean physics in-program, and reports finite metrics."""
+    sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+    bench.ace_bench(embed=8, layers=1, window=2, total_steps=2,
+                    dtype="float32")
+    out = capsys.readouterr().out
+    import json
+
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["metric"] == "ace_simulated_years_per_day"
+    assert rec["value"] > 0
+    assert "finite=True" in rec["unit"]
+
+
 def test_graft_entry_builds():
     sys.path.insert(0, "/root/repo")
     g = importlib.import_module("__graft_entry__")
