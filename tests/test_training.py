@@ -61,6 +61,25 @@ def test_interpolation_training_decreases_loss(dm):
     assert np.isfinite(hist["val"][-1]["val/avg/rmse"])
 
 
+def test_adam_mu_dtype_bf16_trains_and_narrows_state(dm):
+    """adam_mu_dtype="bfloat16": the first-moment tree is stored bf16 (a
+    quarter of optimizer HBM at paper scale) and training still converges."""
+    exp = make_interp_exp(dm)
+    trainer = Trainer(exp, dm, TrainerConfig(lr=8e-3, epochs=5, use_ema=False,
+                                             warmup_steps=5, steps_per_epoch=7,
+                                             adam_mu_dtype="bfloat16"))
+    hist = trainer.fit(verbose=False)
+    assert hist["train_loss"][-1] < hist["train_loss"][0] * 0.8, hist["train_loss"]
+    mus = [l for p, l in jax.tree_util.tree_leaves_with_path(
+               trainer.state.opt_state)
+           if "mu" in jax.tree_util.keystr(p)]
+    assert mus and all(m.dtype == jnp.bfloat16 for m in mus)
+    nus = [l for p, l in jax.tree_util.tree_leaves_with_path(
+               trainer.state.opt_state)
+           if "nu" in jax.tree_util.keystr(p)]
+    assert nus and all(n.dtype == jnp.float32 for n in nus)
+
+
 @pytest.mark.parametrize("forward_conditioning", ["none", "data"])
 def test_dyffusion_forecaster_training(dm, forward_conditioning):
     # 1. train (briefly) an interpolator
