@@ -68,6 +68,10 @@ def main(argv=None) -> dict:
     # +15.5% end-to-end on the paper inference config; use with --reuse for
     # an eval-only precision study against the recorded f32 metrics
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--params-dtype", default=None,
+                    help="weight STORAGE dtype for the eval/rollout stepper")
+    ap.add_argument("--preds-dtype", default=None,
+                    help="emitted-prediction dtype for the eval/rollout stepper")
     args = ap.parse_args(argv)
 
     import jax
@@ -344,7 +348,9 @@ def main(argv=None) -> dict:
 
     # ------------------------------------------------------ rollout stability
     print(f"== rollout stability ({args.rollout_steps} AR steps) ==", flush=True)
-    stepper = DYffusionStepper(fexp, fc_params, inputs_noise=args.inputs_noise)
+    stepper = DYffusionStepper(fexp, fc_params, inputs_noise=args.inputs_noise,
+                               params_dtype=args.params_dtype,
+                               preds_dtype=args.preds_dtype)
     seg = min(args.rollout_steps, 12 * HORIZON)
     # build normalized initial state (B=1, H, W, C)
     frame0 = dm._val_src.read_window(0, 1, dm.cfg.in_names)
