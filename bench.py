@@ -57,7 +57,8 @@ def mkkey(i: int):
 
 
 def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
-          merged_dhconv=False, params_dtype=None, preds_dtype=None):
+          merged_dhconv=False, params_dtype=None, preds_dtype=None,
+          thresh=1.0):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -79,7 +80,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         dropout_mlp=0.1, drop_path_rate=0.1, min_time=1, max_time=horizon - 1,
         data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
         sht_fold_symmetry=fold, use_pallas=use_pallas,
-        merged_dhconv=merged_dhconv,
+        merged_dhconv=merged_dhconv, hard_thresholding_fraction=thresh,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -89,6 +90,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         min_time=0, max_time=horizon - 1, data_grid="equiangular",
         compute_dtype=dtype, sht_matmul_dtype=dtype, sht_fold_symmetry=fold,
         use_pallas=use_pallas, merged_dhconv=merged_dhconv,
+        hard_thresholding_fraction=thresh,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -466,6 +468,12 @@ def main():
     # HBM residency — the ensemble-4 OOM driver — and the writer fetch bytes;
     # the AR hand-off stays full precision). Empty = same as activations.
     preds_dtype = os.environ.get("BENCH_PREDS_DTYPE", "") or None
+    # BENCH_THRESH: spectral hard-thresholding fraction (lmax/mmax scale;
+    # the reference exposes the same knob, sfnonet.py
+    # hard_thresholding_fraction — 1.0 in the released configs). <1 cuts the
+    # Legendre/dhconv FLOPs+bytes quadratically-ish; a MODEL change, so any
+    # non-1.0 use needs its own skill study.
+    thresh = float(os.environ.get("BENCH_THRESH", "1.0"))
 
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         return train_bench(embed, layers, window)
@@ -480,7 +488,8 @@ def main():
                          dtype)
 
     stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas,
-                                             merged, params_dtype, preds_dtype)
+                                             merged, params_dtype, preds_dtype,
+                                             thresh)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 
