@@ -259,8 +259,10 @@ def ace_bench(embed, layers, window, total_steps, dtype):
         if "water" in n:
             data[n] = 1e-3 * data[n]
     data["ocean_fraction"] = (data["ocean_fraction"] > 1.8).astype(np.float32)
-    for n in all_names:
-        data[n] = data[n].astype(np.float32)
+    # upload ONCE: run_on_batch's jnp.asarray is a no-op on device arrays;
+    # re-uploading ~1.3GB per timed window would both dominate the timing and
+    # leak host RAM through the axon client (see inference/loop.py cache)
+    data = {n: jnp.asarray(data[n].astype(np.float32)) for n in all_names}
 
     t0 = time.time()
     out = stepper.run_on_batch(data, n_forward_steps=window)

@@ -87,17 +87,23 @@ class DYffusionStepper:
         # at its point of use anyway (flax dtype args / matmul_dtype casts),
         # so pre-storing the tree in bf16 is numerically identical while
         # halving the HBM bytes the (bandwidth-bound) window program reads
-        # per layer — the embed-256 dhconv weight alone is 47MB/layer in f32.
+        # per layer — the embed-256 dhconv weight alone is 95MB/layer in f32.
         # Pair with compute_dtype/sht_matmul_dtype of the same width; under
         # f32 compute the upcast re-introduces the storage rounding.
         if params_dtype:
             pd = jnp.dtype(params_dtype)
-            self.params = jax.tree_util.tree_map(
-                lambda a: a.astype(pd)
-                if (hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating))
-                else a,
-                self.params,
-            )
+
+            def _cast_tree(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(pd)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                    tree,
+                )
+
+            # ONE jitted program for the whole tree: per-leaf eager .astype
+            # would be hundreds of dispatches (seconds each through the axon
+            # tunnel, CLAUDE.md rule 4)
+            self.params = jax.jit(_cast_tree)(self.params)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
