@@ -72,6 +72,10 @@ def main(argv=None) -> dict:
                     help="weight STORAGE dtype for the eval/rollout stepper")
     ap.add_argument("--preds-dtype", default=None,
                     help="emitted-prediction dtype for the eval/rollout stepper")
+    ap.add_argument("--thresh", type=float, default=1.0,
+                    help="spectral hard_thresholding_fraction for both "
+                         "networks (model change: quantifies the skill cost "
+                         "of the BENCH_THRESH speed knob)")
     args = ap.parse_args(argv)
 
     import jax
@@ -156,6 +160,7 @@ def main(argv=None) -> dict:
         embed_dim=P["embed"], num_layers=P["layers"], with_time_emb=True,
         dropout_mlp=P["dropout"], min_time=1, max_time=HORIZON - 1,
         compute_dtype=args.dtype, sht_matmul_dtype=args.dtype,
+        hard_thresholding_fraction=args.thresh,
     ))
     interp = InterpolationExperiment(imodel, icfg, dm.in_packer, dm.out_packer,
                                      dm.normalizer)
@@ -239,6 +244,7 @@ def main(argv=None) -> dict:
         embed_dim=P["embed"], num_layers=P["layers"], with_time_emb=True,
         min_time=0, max_time=HORIZON - 1,
         compute_dtype=args.dtype, sht_matmul_dtype=args.dtype,
+        hard_thresholding_fraction=args.thresh,
     ))
     fexp = DYffusionForecastingExperiment(
         fmodel, interp, ip_params, dcfg,
