@@ -68,6 +68,21 @@ class InferenceConfig:
     # (n_timesteps a multiple of the window) or raise this cap to stay fully
     # cached.
     upload_cache_entries: int = 8
+    # resident-preds HBM guard: the emitted prediction buffer is
+    # rows x window x H x W x C_out x itemsize, and the async pipeline holds
+    # ~2.5 windows of it (the window being computed, its denormalized copy
+    # awaiting drain, the in-flight next window). When the estimate exceeds
+    # hbm_budget_gb the window is capped to the largest horizon multiple
+    # that fits — forward_steps_in_memory is a pure performance knob, so the
+    # cap is semantics-preserving (it turns the ensemble-4 x window-96
+    # RESOURCE_EXHAUSTED into a working run). Set auto_window_cap=False to
+    # run the requested window regardless. The default budget is the preds'
+    # SHARE of a 16GB v5e — params, the upload cache, conditioning buffers
+    # and sampler workspace take the rest; calibrated so the measured OOM
+    # boundary (ensemble 4 fits at window<=48 f32, paper config) sits just
+    # inside it while single-member window 96 is untouched.
+    auto_window_cap: bool = True
+    hbm_budget_gb: float = 4.5
 
     @property
     def start_indices(self) -> Tuple[int, ...]:
@@ -157,6 +172,24 @@ def _denorm_cast(x, stds, means):
     return (x * stds + means).astype(x.dtype)
 
 
+def capped_window(cfg: InferenceConfig, n_rows: int, spatial, n_out: int,
+                  preds_itemsize: int, horizon: int) -> int:
+    """Largest window (multiple of ``horizon``, >= horizon) whose resident
+    emitted-preds estimate fits ``cfg.hbm_budget_gb`` (see the field's
+    docstring); returns the requested window when the guard is off or the
+    estimate fits."""
+    T_req = int(cfg.forward_steps_in_memory)
+    if not cfg.auto_window_cap:
+        return T_req
+    Hs, Ws = spatial
+    per_step = n_rows * Hs * Ws * n_out * preds_itemsize
+    if per_step <= 0:
+        return T_req
+    max_T = int(cfg.hbm_budget_gb * 1e9 / (2.5 * per_step))
+    max_T = max(horizon, (max_T // horizon) * horizon)
+    return min(T_req, max_T)
+
+
 def run_inference(
     stepper: DYffusionStepper,
     source: TimeSeriesSource,
@@ -185,6 +218,20 @@ def run_inference(
     if consume:
         needed += out_names
     needed = list(dict.fromkeys(needed))
+    itemsize = np.dtype(stepper.preds_dtype).itemsize if stepper.preds_dtype else 4
+    T_eff = capped_window(
+        cfg, len(cfg.start_indices) * cfg.n_ensemble, source.spatial_shape,
+        len(out_names), itemsize, stepper.horizon,
+    )
+    if T_eff < cfg.forward_steps_in_memory:
+        if verbose:
+            print(
+                f"[rollout] forward_steps_in_memory {cfg.forward_steps_in_memory}"
+                f" -> {T_eff}: resident emitted-preds estimate exceeds "
+                f"hbm_budget_gb={cfg.hbm_budget_gb} (semantics-preserving; "
+                "set auto_window_cap=False to override)", flush=True,
+            )
+        cfg = dataclasses.replace(cfg, forward_steps_in_memory=T_eff)
     windows = InferenceWindows(source, needed, cfg)
     n_ic = len(windows.start_indices)
     E = cfg.n_ensemble

@@ -535,6 +535,27 @@ def test_preds_dtype_bf16_full_product_path(tmp_path):
         assert np.isfinite(f["var_0"][()]).all()
 
 
+def test_capped_window_heuristic():
+    from spherical_dyffusion_tpu.inference.loop import capped_window
+
+    paper = dict(spatial=(180, 360), n_out=35, horizon=6)
+    cfg96 = InferenceConfig(n_forward_steps=14600, forward_steps_in_memory=96)
+    # single member at window 96 f32: untouched (the 10-year product path)
+    assert capped_window(cfg96, 1, paper["spatial"], paper["n_out"], 4, 6) == 96
+    # ensemble 4 f32: capped to the measured-fit region (<=48)
+    assert capped_window(cfg96, 4, paper["spatial"], paper["n_out"], 4, 6) <= 48
+    # ensemble 4 with bf16-emitted preds: window 96 estimated to fit
+    assert capped_window(cfg96, 4, paper["spatial"], paper["n_out"], 2, 6) == 96
+    # cap is a horizon multiple and never below one horizon
+    got = capped_window(cfg96, 64, paper["spatial"], paper["n_out"], 4, 6)
+    assert got >= 6 and got % 6 == 0
+    # guard off: requested window wins
+    cfg_off = InferenceConfig(forward_steps_in_memory=96, auto_window_cap=False)
+    assert capped_window(cfg_off, 64, paper["spatial"], paper["n_out"], 4, 6) == 96
+    # tiny test grids: never capped
+    assert capped_window(cfg96, 8, (8, 16), 2, 4, 4) == 96
+
+
 def test_upload_cache_overflow_is_reported():
     """When a repeating source produces more distinct wrapped-offset keys
     than upload_cache_entries, the overflow must be surfaced in the summary
