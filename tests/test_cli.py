@@ -134,6 +134,24 @@ def test_run_inference_cli_from_checkpoint(ckpt, tmp_path):
         logs = json.load(f)
     assert np.isfinite(logs["inference/avg/rmse"])
 
+    # same config through the dtype-narrowing knobs (bf16 weight storage +
+    # bf16-emitted preds): runs end to end, finite metrics
+    out_dir2 = str(tmp_path / "out16")
+    result2 = main_from_config({
+        "checkpoint_path": fc_ckpt,
+        "experiment_dir": out_dir2,
+        "n_forward_steps": 6,
+        "forward_steps_in_memory": 6,
+        "verbose": False,
+        "log_zonal_mean_images": False,
+        "params_dtype": "bfloat16",
+        "preds_dtype": "bfloat16",
+    })
+    assert result2["summary"]["n_forward_steps"] == 6
+    with open(os.path.join(out_dir2, "metrics.json")) as f:
+        logs2 = json.load(f)
+    assert np.isfinite(logs2["inference/avg/rmse"])
+
 
 def test_prediction_inputs_noise_flows_from_config():
     """The calibration knob must reach the experiment from YAML/module config
