@@ -1,3 +1,9 @@
+from .ace_stepper import (
+    SingleStepStepper,
+    SingleStepStepperConfig,
+    SteppedData,
+    run_ace_inference,
+)
 from .loop import InferenceConfig, InferenceWindows, run_inference
 from .prescriber import NullPrescriber, PackedPrescriber, PrescriberConfig
 from .stepper import DYffusionStepper
@@ -10,6 +16,10 @@ from .writers import (
 )
 
 __all__ = [
+    "SingleStepStepper",
+    "SingleStepStepperConfig",
+    "SteppedData",
+    "run_ace_inference",
     "InferenceConfig",
     "InferenceWindows",
     "run_inference",

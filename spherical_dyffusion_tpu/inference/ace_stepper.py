@@ -26,7 +26,8 @@ from ..training.losses import get_loss_fn
 from .corrector import Corrector, CorrectorConfig
 from .ocean import Ocean, OceanConfig
 
-__all__ = ["SingleStepStepperConfig", "SingleStepStepper", "SteppedData"]
+__all__ = ["SingleStepStepperConfig", "SingleStepStepper", "SteppedData",
+           "run_ace_inference"]
 
 
 class SteppedData(struct.PyTreeNode):
@@ -37,6 +38,9 @@ class SteppedData(struct.PyTreeNode):
     target_data: Dict[str, jax.Array]
     gen_data_norm: Dict[str, jax.Array]
     target_data_norm: Dict[str, jax.Array]
+    # normalized input-side state after the last step — the next window's
+    # initial condition for chained rollouts (run_ace_inference)
+    final_input_norm: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,17 +97,25 @@ class SingleStepStepper:
         self._jitted = {}
 
     # ------------------------------------------------------------------- run
-    def run_on_batch(self, data: Dict[str, np.ndarray], n_forward_steps: int) -> SteppedData:
-        """data: {name: (B, T+1, H, W)} raw fields covering the rollout."""
-        fn = self._jitted.get(n_forward_steps)
+    def run_on_batch(self, data: Dict[str, np.ndarray], n_forward_steps: int,
+                     initial_state_norm: Optional[jax.Array] = None) -> SteppedData:
+        """data: {name: (B, T+1, H, W)} raw fields covering the rollout.
+
+        ``initial_state_norm``: normalized (B, H, W, C_in) state to start from
+        instead of ``data[:, 0]`` — carries the model state across windows in
+        a chained rollout (the reference loop's ``data_requirements``
+        hand-off, ace_inference/inference/loop.py)."""
+        key = (n_forward_steps, initial_state_norm is not None)
+        fn = self._jitted.get(key)
         if fn is None:
-            fn = self._jitted[n_forward_steps] = jax.jit(
-                lambda params, d: self._run(params, d, n_forward_steps)
+            fn = self._jitted[key] = jax.jit(
+                lambda params, d, x0: self._run(params, d, n_forward_steps, x0)
             )
         data_j = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
-        return fn(self.params, data_j)
+        return fn(self.params, data_j, initial_state_norm)
 
-    def _run(self, params, data: Dict[str, jax.Array], n_steps: int) -> SteppedData:
+    def _run(self, params, data: Dict[str, jax.Array], n_steps: int,
+             x0_override: Optional[jax.Array] = None) -> SteppedData:
         cfg = self.cfg
         in_names = list(cfg.in_names)
         out_names = list(cfg.out_names)
@@ -111,7 +123,7 @@ class SingleStepStepper:
         in_norm, out_norm = self._in_norm, self._out_norm
 
         x0_raw = jnp.stack([data[n][:, 0] for n in in_names], axis=-1)
-        x0 = in_norm.normalize(x0_raw)
+        x0 = in_norm.normalize(x0_raw) if x0_override is None else x0_override
 
         # per-step slices, time-major for lax.scan
         def tslice(names, t0, t1):
@@ -150,7 +162,7 @@ class SingleStepStepper:
             step_loss = self.loss_fn(gen_norm, target_norm)
             return x_next, (gen_norm, step_loss)
 
-        _, (gen_norm_seq, step_losses) = jax.lax.scan(
+        x_final, (gen_norm_seq, step_losses) = jax.lax.scan(
             body, x0, (step_raw_cur, step_raw_next)
         )
         gen_norm_seq = jnp.moveaxis(gen_norm_seq, 0, 1)  # (B, T, H, W, C_out)
@@ -178,6 +190,7 @@ class SingleStepStepper:
             target_data=tgt_raw,
             gen_data_norm={n: gen_norm_full[..., i] for i, n in enumerate(out_names)},
             target_data_norm=tgt_norm,
+            final_input_norm=x_final,
         )
 
     # ------------------------------------------------------------------ state
@@ -189,3 +202,101 @@ class SingleStepStepper:
             "area": np.asarray(self.area).tolist(),
             "sigma_coordinates": self.sigma.as_dict() if self.sigma else None,
         }
+
+
+def run_ace_inference(
+    stepper: SingleStepStepper,
+    source,
+    n_forward_steps: int,
+    forward_steps_in_memory: int = 50,
+    n_repeats: int = 1,
+    aggregator=None,
+    writer=None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Windowed ACE rollout driver (reference ace_inference/inference loop,
+    run_inference at loop.py:158): each ``forward_steps_in_memory`` window is
+    one scanned device program; the normalized model state is carried across
+    windows (``SteppedData.final_input_norm``), so only forcings/targets are
+    re-read per window. Aggregator reductions consume device arrays; the
+    writer receives host copies of the emitted steps only.
+
+    ``source``: a :class:`~..data.datasets.TimeSeriesSource` covering
+    ``stepper.cfg.all_names`` (``n_repeats`` loops it for long rollouts).
+    """
+    import time as _time
+
+    names = list(stepper.cfg.all_names)
+    out_names = list(stepper.cfg.out_names)
+    total_available = source.n_timesteps * max(1, n_repeats)
+    if n_forward_steps + 1 > total_available:
+        raise ValueError(
+            f"rollout needs {n_forward_steps + 1} frames; source has "
+            f"{source.n_timesteps} x n_repeats={n_repeats}"
+        )
+
+    def read_frames(t0: int, length: int) -> Dict[str, np.ndarray]:
+        """(1, length, H, W) per name, wrapping over the source."""
+        out = {n: [] for n in names}
+        got = 0
+        while got < length:
+            s = (t0 + got) % source.n_timesteps
+            n_read = min(length - got, source.n_timesteps - s)
+            piece = source.read_window(s, n_read, names)
+            for n in names:
+                out[n].append(piece[n])
+            got += n_read
+        return {n: np.concatenate(v, axis=0)[None] for n, v in out.items()}
+
+    timers = {"data_loading": 0.0, "run_on_batch": 0.0,
+              "writer_and_aggregator": 0.0}
+    t_start = _time.time()
+    x_norm = None
+    start = 0
+    last = None
+    while start < n_forward_steps:
+        n = min(forward_steps_in_memory, n_forward_steps - start)
+        t0 = _time.time()
+        data = read_frames(start, n + 1)
+        timers["data_loading"] += _time.time() - t0
+
+        t0 = _time.time()
+        out = stepper.run_on_batch(data, n, initial_state_norm=x_norm)
+        x_norm = out.final_input_norm
+        jax.block_until_ready(out.metrics["loss"])
+        timers["run_on_batch"] += _time.time() - t0
+
+        t0 = _time.time()
+        if aggregator is not None:
+            preds = jnp.stack(
+                [out.gen_data[nm][:, 1:] for nm in out_names], axis=-1
+            )  # (B, n, H, W, C)
+            tgts = jnp.stack(
+                [jnp.asarray(data[nm][0, 1:]) for nm in out_names], axis=-1
+            )  # (n, H, W, C)
+            aggregator.record_batch(preds, tgts, start_step=start)
+        if writer is not None:
+            preds_h = np.stack(
+                [np.asarray(out.gen_data[nm][:, 1:]) for nm in out_names],
+                axis=-1,
+            )
+            tgts_h = np.stack([data[nm][0, 1:] for nm in out_names], axis=-1)
+            writer.append(preds_h, tgts_h)
+        timers["writer_and_aggregator"] += _time.time() - t0
+
+        last = out
+        start += n
+        if verbose:
+            sps = start / max(_time.time() - t_start, 1e-9)
+            print(f"[ace-rollout] steps {start}/{n_forward_steps} "
+                  f"({sps:.2f} steps/s)", flush=True)
+
+    duration = _time.time() - t_start
+    summary = {
+        "n_forward_steps": float(n_forward_steps),
+        "duration_s": round(duration, 5),
+        "total_steps_per_second": round(n_forward_steps / duration, 5),
+        "loss_last_window": float(last.metrics["loss"]) if last else float("nan"),
+    }
+    summary.update({f"time/{k}": round(v, 5) for k, v in timers.items()})
+    return summary

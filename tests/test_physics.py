@@ -216,3 +216,64 @@ def test_single_step_stepper_rollout():
     gen_sst = np.asarray(stepped.gen_data["surface_temperature"])[:, 1][mask]
     tgt_sst = data["surface_temperature"][:, 1][mask]
     np.testing.assert_allclose(gen_sst, tgt_sst, rtol=1e-5)
+
+
+def test_run_ace_inference_windowed_matches_single_window(tmp_path):
+    """The windowed ACE driver with state carry-over must reproduce the
+    single-window rollout exactly (corrector + prescribed ocean active), and
+    feed aggregator/writer with finite outputs."""
+    from spherical_dyffusion_tpu.data.datasets import SyntheticTimeSeries
+    from spherical_dyffusion_tpu.evaluation.aggregators import InferenceAggregator
+    from spherical_dyffusion_tpu.inference import (
+        PredictionWriter,
+        run_ace_inference,
+    )
+
+    in_names = ["PRESsfc", "surface_temperature", "specific_total_water_0",
+                "specific_total_water_1", "specific_total_water_2", "DSWRFtoa"]
+    out_names = in_names[:-1]
+    names_all = in_names + ["ocean_fraction"]
+    norm = StandardNormalizer.from_dicts(
+        {n: 1.0 for n in names_all}, {n: 0.5 for n in names_all}, names_all
+    )
+    cfg = SingleStepStepperConfig(
+        in_names=in_names, out_names=out_names, loss="l2",
+        corrector=CorrectorConfig(conserve_dry_air=True),
+        ocean=OceanConfig("surface_temperature", "ocean_fraction"),
+    )
+
+    def model_fn(params, x_norm):
+        return 0.98 * x_norm[..., : len(out_names)]
+
+    stepper = SingleStepStepper(cfg, model_fn, params={}, normalizer=norm,
+                                area_weights=area(), sigma=sigma())
+    src = SyntheticTimeSeries(names_all, n_timesteps=13, spatial_shape=(H, W))
+
+    T = 12
+    # reference run: one window covering everything
+    data_full = {n: src.read_window(0, T + 1, [n])[n][None] for n in names_all}
+    full = stepper.run_on_batch(data_full, T)
+
+    # windowed run: 3 windows of 4, state carried across
+    agg = InferenceAggregator(
+        out_names,
+        jnp.asarray(area()),
+        log_zonal_mean_images=False,
+    )
+    writer = PredictionWriter(str(tmp_path / "ace.nc"), out_names,
+                              np.linspace(-80, 80, H), np.linspace(0, 360, W),
+                              n_ensemble=1, save_targets=True)
+    summary = run_ace_inference(stepper, src, n_forward_steps=T,
+                                forward_steps_in_memory=4,
+                                aggregator=agg, writer=writer, verbose=False)
+    writer.close()
+    assert summary["n_forward_steps"] == T
+    logs = agg.get_logs()
+    assert np.isfinite(logs["inference/avg/rmse"])
+
+    import h5py
+
+    with h5py.File(tmp_path / "ace.nc") as f:
+        got = f["PRESsfc"][0]  # (T, H, W)
+        want = np.asarray(full.gen_data["PRESsfc"])[0, 1:]
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-3)
