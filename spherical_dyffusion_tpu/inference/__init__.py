@@ -2,6 +2,7 @@ from .ace_stepper import (
     SingleStepStepper,
     SingleStepStepperConfig,
     SteppedData,
+    ace_scored_names,
     run_ace_inference,
 )
 from .loop import InferenceConfig, InferenceWindows, run_inference
@@ -19,6 +20,7 @@ __all__ = [
     "SingleStepStepper",
     "SingleStepStepperConfig",
     "SteppedData",
+    "ace_scored_names",
     "run_ace_inference",
     "InferenceConfig",
     "InferenceWindows",

@@ -27,7 +27,7 @@ from .corrector import Corrector, CorrectorConfig
 from .ocean import Ocean, OceanConfig
 
 __all__ = ["SingleStepStepperConfig", "SingleStepStepper", "SteppedData",
-           "run_ace_inference"]
+           "run_ace_inference", "ace_scored_names"]
 
 
 class SteppedData(struct.PyTreeNode):
@@ -204,6 +204,22 @@ class SingleStepStepper:
         }
 
 
+def ace_scored_names(stepper: "SingleStepStepper", source,
+                     derived: bool = False) -> List[str]:
+    """Variable list ``run_ace_inference`` will score — prognostics plus, with
+    ``derived=True``, every registered diagnostic computable from the
+    source's fields. Build the aggregator from this list."""
+    names = list(stepper.cfg.out_names)
+    if not derived:
+        return names
+    from .derived_variables import compute_derived_quantities
+
+    frame = {n: jnp.asarray(source.read_window(0, 1, [n])[n])
+             for n in stepper.cfg.all_names}
+    aug = compute_derived_quantities(frame, stepper.sigma)
+    return names + sorted(k for k in aug if k not in stepper.cfg.all_names)
+
+
 def run_ace_inference(
     stepper: SingleStepStepper,
     source,
@@ -212,6 +228,7 @@ def run_ace_inference(
     n_repeats: int = 1,
     aggregator=None,
     writer=None,
+    derived: bool = False,
     verbose: bool = True,
 ) -> Dict[str, float]:
     """Windowed ACE rollout driver (reference ace_inference/inference loop,
@@ -220,6 +237,12 @@ def run_ace_inference(
     windows (``SteppedData.final_input_norm``), so only forcings/targets are
     re-read per window. Aggregator reductions consume device arrays; the
     writer receives host copies of the emitted steps only.
+
+    ``derived``: also score every computable registered diagnostic
+    (reference compute_derived_quantities applied to gen and target data
+    during inference, ace_inference/inference/loop.py) — requires
+    ``stepper.sigma``. Derived fields extend the aggregator's variable list;
+    the writer still persists the prognostic set.
 
     ``source``: a :class:`~..data.datasets.TimeSeriesSource` covering
     ``stepper.cfg.all_names`` (``n_repeats`` loops it for long rollouts).
@@ -248,6 +271,20 @@ def run_ace_inference(
             got += n_read
         return {n: np.concatenate(v, axis=0)[None] for n, v in out.items()}
 
+    derived_fn = None
+    scored_names: List[str] = list(out_names)
+    if derived:
+        if stepper.sigma is None:
+            raise ValueError("derived=True requires stepper.sigma "
+                             "(vertical coordinate for the diagnostics)")
+        from .derived_variables import compute_derived_quantities
+
+        # jitted: per-window eager diagnostics would be one tunnel dispatch
+        # per op (seconds each on axon)
+        derived_fn = jax.jit(
+            lambda d: compute_derived_quantities(d, stepper.sigma)
+        )
+
     timers = {"data_loading": 0.0, "run_on_batch": 0.0,
               "writer_and_aggregator": 0.0}
     t_start = _time.time()
@@ -268,11 +305,27 @@ def run_ace_inference(
 
         t0 = _time.time()
         if aggregator is not None:
+            gen_d = {nm: out.gen_data[nm][:, 1:] for nm in out_names}
+            tgt_d = {nm: jnp.asarray(data[nm][0, 1:]) for nm in names}
+            if derived_fn is not None:
+                # forcings enter the gen dict too (derived formulas may need
+                # them); batch dim kept so shapes line up with gen fields
+                gen_d = derived_fn({
+                    **gen_d,
+                    **{nm: jnp.asarray(data[nm][:, 1:]) for nm in names
+                       if nm not in out_names},
+                })
+                tgt_d = derived_fn(tgt_d)
+                if len(scored_names) == len(out_names):  # first window
+                    scored_names = list(out_names) + sorted(
+                        k for k in gen_d
+                        if k in tgt_d and k not in names
+                    )
             preds = jnp.stack(
-                [out.gen_data[nm][:, 1:] for nm in out_names], axis=-1
+                [gen_d[nm] for nm in scored_names], axis=-1
             )  # (B, n, H, W, C)
             tgts = jnp.stack(
-                [jnp.asarray(data[nm][0, 1:]) for nm in out_names], axis=-1
+                [tgt_d[nm] for nm in scored_names], axis=-1
             )  # (n, H, W, C)
             aggregator.record_batch(preds, tgts, start_step=start)
         if writer is not None:

@@ -277,3 +277,36 @@ def test_run_ace_inference_windowed_matches_single_window(tmp_path):
         got = f["PRESsfc"][0]  # (T, H, W)
         want = np.asarray(full.gen_data["PRESsfc"])[0, 1:]
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-3)
+
+
+def test_run_ace_inference_with_derived_diagnostics():
+    """derived=True scores registered diagnostics (dry-air pressure, water
+    path) alongside prognostics; names from ace_scored_names."""
+    from spherical_dyffusion_tpu.data.datasets import SyntheticTimeSeries
+    from spherical_dyffusion_tpu.evaluation.aggregators import InferenceAggregator
+    from spherical_dyffusion_tpu.inference import (
+        ace_scored_names,
+        run_ace_inference,
+    )
+
+    in_names = ["PRESsfc", "specific_total_water_0", "specific_total_water_1",
+                "specific_total_water_2", "DSWRFtoa"]
+    out_names = in_names[:-1]
+    norm = StandardNormalizer.from_dicts(
+        {n: 1.0 for n in in_names}, {n: 0.5 for n in in_names}, in_names
+    )
+    cfg = SingleStepStepperConfig(in_names=in_names, out_names=out_names)
+    stepper = SingleStepStepper(cfg, lambda p, x: 0.95 * x[..., :4], {},
+                                norm, area_weights=area(), sigma=sigma())
+    src = SyntheticTimeSeries(in_names, n_timesteps=9, spatial_shape=(H, W))
+    scored = ace_scored_names(stepper, src, derived=True)
+    assert "surface_pressure_due_to_dry_air" in scored
+    agg = InferenceAggregator(scored, jnp.asarray(area()),
+                              log_zonal_mean_images=False)
+    summary = run_ace_inference(stepper, src, n_forward_steps=8,
+                                forward_steps_in_memory=4, aggregator=agg,
+                                derived=True, verbose=False)
+    assert summary["n_forward_steps"] == 8
+    logs = agg.get_logs()
+    key = "inference/time_mean/rmse/surface_pressure_due_to_dry_air"
+    assert np.isfinite(logs[key])
