@@ -160,6 +160,8 @@ def get_experiment(
             model, exp_cfg, dm.in_packer, dm.out_packer, dm.normalizer,
             horizon_at_once=hao,
             autoregressive_loss_weights=module_cfg.get("autoregressive_loss_weights"),
+            forcing_names=getattr(dm.cfg, "forcing_names", None),
+            forcing_normalizer=getattr(dm, "forcing_normalizer", None),
         )
 
     raise ValueError(f"Unknown experiment {kind!r}")

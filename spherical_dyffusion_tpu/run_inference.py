@@ -42,6 +42,15 @@ def main_from_config(cfg: dict) -> dict:
     )
     use_ema = bool(cfg.get("use_ema", True)) and ema_params is not None
 
+    # ACE product path: any one-step experiment checkpoint drives the scanned
+    # SingleStepStepper with optional corrector/prescribed-ocean physics
+    # (reference ace_inference/inference/inference.py:206-324 over
+    # SingleModuleStepper instead of the DYffusion MultiStepStepper)
+    if cfg.get("stepper_type", "dyffusion") == "ace":
+        return _run_ace_from_checkpoint(
+            cfg, exp, ema_params if use_ema else params
+        )
+
     prescriber = None
     p_cfg = cfg.get("prescriber") or full_cfg.get("datamodule", {}).get("prescriber")
     mask_name = None
@@ -141,6 +150,145 @@ def main_from_config(cfg: dict) -> dict:
             agg.video.save(os.path.join(out_dir, "videos.nc"))
     except Exception as e:  # media must never kill a rollout
         print(f"[media] skipped: {e}")
+    print(json.dumps({k: round(float(v), 5) for k, v in summary.items()}))
+    return {"summary": summary, "logs": logs, "aggregator": agg}
+
+
+def _run_ace_from_checkpoint(cfg: dict, exp, params) -> dict:
+    """Build a SingleStepStepper around a loaded one-step experiment and run
+    the windowed ACE rollout with aggregator + writers."""
+    import jax.numpy as jnp
+
+    from .data.datasets import NetCDFTimeSeries, SyntheticTimeSeries
+    from .data.normalization import StandardNormalizer
+    from .evaluation.aggregators import InferenceAggregator
+    from .inference import (
+        DataWriter,
+        DataWriterConfig,
+        SingleStepStepper,
+        SingleStepStepperConfig,
+        ace_scored_names,
+        run_ace_inference,
+    )
+    from .inference.corrector import CorrectorConfig
+    from .inference.ocean import OceanConfig
+
+    if getattr(exp, "horizon_at_once", 1) != 1:
+        raise ValueError(
+            "stepper_type=ace needs a one-step model "
+            f"(horizon_at_once={exp.horizon_at_once})"
+        )
+    if getattr(exp.cfg, "window", 1) != 1:
+        raise ValueError(
+            "stepper_type=ace needs a single-frame input window "
+            f"(window={exp.cfg.window})"
+        )
+    state_names = list(exp.in_packer.names)
+    out_names = list(exp.out_packer.names)
+    forcing_names = [n for n in (getattr(exp, "forcing_names", None) or [])
+                     if n not in state_names]
+    in_names = state_names + forcing_names
+
+    o = cfg.get("ocean") or cfg.get("prescriber")
+    ocean_cfg = OceanConfig(
+        o.get("surface_temperature_name") or o.get("prescribed_name"),
+        o.get("ocean_fraction_name") or o.get("mask_name"),
+    ) if o else None
+    corr = cfg.get("corrector")
+    corrector_cfg = CorrectorConfig(**corr) if corr else None
+
+    # one normalizer over every name the stepper touches: training stats for
+    # model variables, identity for physics-only fields (e.g. the ocean mask)
+    means = dict(exp.normalizer.get_state()["means"])
+    stds = dict(exp.normalizer.get_state()["stds"])
+    fnorm = getattr(exp, "forcing_normalizer", None)
+    if fnorm is not None:
+        means.update(fnorm.get_state()["means"])
+        stds.update(fnorm.get_state()["stds"])
+    all_names = list(dict.fromkeys(
+        in_names + out_names
+        + ([ocean_cfg.ocean_fraction_name] if ocean_cfg else [])
+    ))
+    for n in all_names:
+        means.setdefault(n, 0.0)
+        stds.setdefault(n, 1.0)
+    normalizer = StandardNormalizer.from_dicts(
+        {n: means[n] for n in all_names}, {n: stds[n] for n in all_names},
+        all_names,
+    )
+
+    n_state = len(state_names)
+    model = exp.model
+    wants_time = bool(getattr(model.cfg, "with_time_emb", False))
+
+    def model_fn(p, x_norm):
+        kwargs = {"deterministic": True}
+        if len(forcing_names):
+            kwargs["static_condition"] = x_norm[..., n_state:]
+        if wants_time:
+            kwargs["time"] = jnp.zeros((x_norm.shape[0],))
+        return model.apply(p, x_norm[..., :n_state], **kwargs)
+
+    loader_cfg = cfg.get("validation_loader", {})
+    data_path = loader_cfg.get("dataset", {}).get("data_path")
+    n_steps = int(cfg.get("n_forward_steps", 100))
+    if data_path and os.path.exists(data_path):
+        source = NetCDFTimeSeries(data_path)
+        n_repeats = int(loader_cfg.get("dataset", {}).get("n_repeats", 1) or 1)
+    else:
+        source = SyntheticTimeSeries(
+            all_names, n_timesteps=int(cfg.get("forward_steps_in_memory", 50)) + 1,
+            spatial_shape=exp.model.cfg.img_shape,
+        )
+        n_repeats = max(4, n_steps)
+    sigma = cfg.get("sigma_coordinates")
+    if sigma is not None:
+        from .data.coords import SigmaCoordinates
+        import numpy as _np
+
+        sigma = SigmaCoordinates(ak=_np.asarray(sigma["ak"], _np.float64),
+                                 bk=_np.asarray(sigma["bk"], _np.float64))
+    else:
+        sigma = source.sigma
+
+    stepper = SingleStepStepper(
+        SingleStepStepperConfig(
+            in_names=in_names, out_names=out_names,
+            corrector=corrector_cfg, ocean=ocean_cfg,
+        ),
+        model_fn, params, normalizer,
+        source.horizontal.area_weights(), sigma=sigma,
+    )
+
+    out_dir = cfg.get("experiment_dir", "results/inference_ace")
+    os.makedirs(out_dir, exist_ok=True)
+    derived = bool(cfg.get("derived", False))
+    scored = ace_scored_names(stepper, source, derived=derived)
+    hc = source.horizontal
+    agg = InferenceAggregator(
+        scored, hc.area_weights(),
+        log_zonal_mean_images=bool(cfg.get("log_zonal_mean_images", True)),
+    )
+    w_cfg = cfg.get("data_writer", {})
+    writer = DataWriter(
+        DataWriterConfig(
+            save_prediction_files=bool(w_cfg.get("save_prediction_files", False)),
+            save_histogram_files=bool(w_cfg.get("save_histogram_files", False)),
+            time_coarsen_factor=w_cfg.get("time_coarsen_factor"),
+        ),
+        out_dir, out_names, hc.lat, hc.lon, n_ensemble=1,
+    )
+    summary = run_ace_inference(
+        stepper, source, n_forward_steps=n_steps,
+        forward_steps_in_memory=int(cfg.get("forward_steps_in_memory", 50)),
+        n_repeats=n_repeats, aggregator=agg,
+        writer=writer if writer.writers else None, derived=derived,
+        verbose=bool(cfg.get("verbose", True)),
+    )
+    writer.close()
+    logs = agg.get_logs()
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump({**summary, **logs}, f, indent=1)
     print(json.dumps({k: round(float(v), 5) for k, v in summary.items()}))
     return {"summary": summary, "logs": logs, "aggregator": agg}
 

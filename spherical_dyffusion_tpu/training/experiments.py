@@ -414,12 +414,18 @@ class SimultaneousForecastingExperiment:
         normalizer: StandardNormalizer,
         horizon_at_once: Optional[int] = None,
         autoregressive_loss_weights: Optional[Sequence[float]] = None,
+        forcing_names: Optional[Sequence[str]] = None,
+        forcing_normalizer: Optional[StandardNormalizer] = None,
     ):
         self.model = model
         self.cfg = cfg
         self.in_packer = in_packer
         self.out_packer = out_packer
         self.normalizer = normalizer
+        # the static_condition channel names/stats (consumed by the ACE
+        # inference adapter, run_inference._run_ace_from_checkpoint)
+        self.forcing_names = list(forcing_names or [])
+        self.forcing_normalizer = forcing_normalizer
         self.horizon_at_once = horizon_at_once or cfg.horizon
         if cfg.horizon % self.horizon_at_once != 0:
             raise ValueError("horizon must be divisible by horizon_at_once")

@@ -189,3 +189,38 @@ def test_train_cli_fit_in_memory_product_path(tmp_path):
     ])
     assert np.isfinite(out["history"]["train_loss"][-1])
     assert os.path.exists(out["ckpt_path"])
+
+
+def test_run_inference_cli_ace_stepper(tmp_path):
+    """stepper_type=ace: a one-step simultaneous checkpoint drives the
+    scanned ACE stepper from the CLI, with prescribed ocean."""
+    cfg3 = dict(CFG)
+    cfg3["experiment"] = "simultaneous"
+    cfg3["module"] = {"horizon_at_once": 1}
+    cfg3["datamodule"] = dict(CFG["datamodule"], horizon=1)
+    dm = get_datamodule(cfg3)
+    exp = get_experiment(cfg3, dm)
+    tr = Trainer(exp, dm, TrainerConfig(epochs=1, warmup_steps=2))
+    tr.fit(verbose=False, val_every=100)
+    ace_ckpt = str(tmp_path / "ace.ckpt")
+    save_experiment_checkpoint(ace_ckpt, tr.state, cfg3)
+
+    from spherical_dyffusion_tpu.run_inference import main_from_config
+
+    out_dir = str(tmp_path / "out_ace")
+    result = main_from_config({
+        "checkpoint_path": ace_ckpt,
+        "stepper_type": "ace",
+        "experiment_dir": out_dir,
+        "n_forward_steps": 8,
+        "forward_steps_in_memory": 4,
+        "verbose": False,
+        "log_zonal_mean_images": False,
+        "prescriber": {"prescribed_name": "var_0", "mask_name": "forcing_0"},
+        "data_writer": {"save_prediction_files": True},
+    })
+    assert result["summary"]["n_forward_steps"] == 8
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        logs = json.load(f)
+    assert np.isfinite(logs["inference/avg/rmse"])
+    assert os.path.exists(os.path.join(out_dir, "autoregressive_predictions.nc"))
