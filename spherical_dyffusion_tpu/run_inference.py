@@ -190,10 +190,17 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params) -> dict:
     in_names = state_names + forcing_names
 
     o = cfg.get("ocean") or cfg.get("prescriber")
-    ocean_cfg = OceanConfig(
-        o.get("surface_temperature_name") or o.get("prescribed_name"),
-        o.get("ocean_fraction_name") or o.get("mask_name"),
-    ) if o else None
+    ocean_cfg = None
+    if o:
+        from .inference.ocean import SlabOceanConfig
+
+        slab = o.get("slab")
+        ocean_cfg = OceanConfig(
+            o.get("surface_temperature_name") or o.get("prescribed_name"),
+            o.get("ocean_fraction_name") or o.get("mask_name"),
+            interpolate=bool(o.get("interpolate", False)),
+            slab=SlabOceanConfig(**slab) if slab else None,
+        )
     corr = cfg.get("corrector")
     corrector_cfg = CorrectorConfig(**corr) if corr else None
 
@@ -206,8 +213,7 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params) -> dict:
         means.update(fnorm.get_state()["means"])
         stds.update(fnorm.get_state()["stds"])
     all_names = list(dict.fromkeys(
-        in_names + out_names
-        + ([ocean_cfg.ocean_fraction_name] if ocean_cfg else [])
+        in_names + out_names + (list(ocean_cfg.names) if ocean_cfg else [])
     ))
     for n in all_names:
         means.setdefault(n, 0.0)
