@@ -64,7 +64,9 @@ def main():
     args = ap.parse_args()
 
     H, W = args.height, args.width
-    lmax = mmax = H + 1
+    # matches SFNOConfig.modes at hard_thresholding_fraction=1.0:
+    # lmax = nlat, mmax = nlon//2 + 1
+    lmax, mmax = H, W // 2 + 1
     fwd_gf, layer_gf = sfno_forward_gflops(
         args.embed, args.layers, H, W, lmax, mmax, in_ch=37, out_ch=35)
     step_tf = fwd_gf * args.forwards_per_step / 1e3

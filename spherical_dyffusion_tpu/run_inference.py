@@ -48,7 +48,7 @@ def main_from_config(cfg: dict) -> dict:
     # SingleModuleStepper instead of the DYffusion MultiStepStepper)
     if cfg.get("stepper_type", "dyffusion") == "ace":
         return _run_ace_from_checkpoint(
-            cfg, exp, ema_params if use_ema else params
+            cfg, exp, ema_params if use_ema else params, full_cfg
         )
 
     prescriber = None
@@ -154,7 +154,7 @@ def main_from_config(cfg: dict) -> dict:
     return {"summary": summary, "logs": logs, "aggregator": agg}
 
 
-def _run_ace_from_checkpoint(cfg: dict, exp, params) -> dict:
+def _run_ace_from_checkpoint(cfg: dict, exp, params, full_cfg: dict) -> dict:
     """Build a SingleStepStepper around a loaded one-step experiment and run
     the windowed ACE rollout with aggregator + writers."""
     import jax.numpy as jnp
@@ -189,11 +189,29 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params) -> dict:
                      if n not in state_names]
     in_names = state_names + forcing_names
 
-    o = cfg.get("ocean") or cfg.get("prescriber")
+    for k in ("n_ensemble", "preds_dtype"):
+        if cfg.get(k) not in (None, 1):
+            raise ValueError(
+                f"{k!r} is not supported on the ACE path (deterministic "
+                "single-member stepper; SteppedData carries full-precision "
+                "fields) — drop the key or use the DYffusion stepper"
+            )
+
+    # same fallback order as the DYffusion branch: explicit config, else the
+    # checkpoint datamodule's prescriber — a ckpt trained with prescribed SST
+    # must not silently roll out free-running
+    o = (cfg.get("ocean") or cfg.get("prescriber")
+         or full_cfg.get("datamodule", {}).get("prescriber"))
     ocean_cfg = None
     if o:
         from .inference.ocean import SlabOceanConfig
 
+        if int(o.get("mask_value", 1)) != 1:
+            raise ValueError(
+                "the ACE ocean prescribes where round(mask) == 1; "
+                f"mask_value={o['mask_value']} would be silently inverted — "
+                "invert the mask variable instead"
+            )
         slab = o.get("slab")
         ocean_cfg = OceanConfig(
             o.get("surface_temperature_name") or o.get("prescribed_name"),
@@ -226,6 +244,17 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params) -> dict:
     n_state = len(state_names)
     model = exp.model
     wants_time = bool(getattr(model.cfg, "with_time_emb", False))
+
+    if cfg.get("params_dtype"):
+        import jax
+
+        pd = jnp.dtype(cfg["params_dtype"])
+        # one jitted program (per-leaf eager casts are one tunnel dispatch
+        # each; see DYffusionStepper.params_dtype)
+        params = jax.jit(lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(pd)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t
+        ))(params)
 
     def model_fn(p, x_norm):
         kwargs = {"deterministic": True}
