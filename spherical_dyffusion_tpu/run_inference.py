@@ -324,6 +324,21 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params, full_cfg: dict) -> dict:
     logs = agg.get_logs()
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump({**summary, **logs}, f, indent=1)
+    # media outputs, same set as the DYffusion branch
+    try:
+        if agg.snapshots.snapshots:
+            from .evaluation.plots import plot_snapshot_panels
+
+            plot_snapshot_panels(agg.snapshots.snapshots, scored,
+                                 os.path.join(out_dir, "snapshots"))
+        if agg.zonal is not None and agg.zonal.get_maps() is not None:
+            from .evaluation.plots import plot_zonal_mean_hovmoeller
+
+            pz, tz = agg.zonal.get_maps()
+            plot_zonal_mean_hovmoeller(pz, tz, scored,
+                                       os.path.join(out_dir, "zonal_means"))
+    except Exception as e:  # media must never kill a rollout
+        print(f"[media] skipped: {e}")
     print(json.dumps({k: round(float(v), 5) for k, v in summary.items()}))
     return {"summary": summary, "logs": logs, "aggregator": agg}
 
