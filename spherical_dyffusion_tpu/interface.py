@@ -37,6 +37,7 @@ __all__ = [
     "save_experiment_checkpoint",
     "load_experiment_checkpoint",
     "load_reference_checkpoint",
+    "load_ace_stepper_checkpoint",
 ]
 
 
@@ -507,3 +508,123 @@ def _restore_params(exp, dm, state_dict):
         )
         return restored
     return serialization.from_state_dict(template, state_dict)
+
+
+def load_ace_stepper_checkpoint(path: str):
+    """Load a reference/upstream ACE torch checkpoint into a ready
+    :class:`~.inference.SingleStepStepper`.
+
+    Format: ``torch.save({"stepper": SingleModuleStepper.get_state(), ...})``
+    (reference ace_inference/training/train.py:364, consumed at
+    inference/inference.py:74 via ``SingleModuleStepper.from_state``): the
+    state dict carries the module weights, normalizer means/stds, img_shape,
+    the full stepper config (builder/in_names/out_names/ocean/corrector),
+    the area weights and the sigma coordinates — everything needed, no side
+    files. Returns ``(stepper, config_state_dict)``.
+    """
+    import numpy as np
+
+    from .data.coords import SigmaCoordinates
+    from .data.normalization import StandardNormalizer
+    from .inference import SingleStepStepper, SingleStepStepperConfig
+    from .inference.corrector import CorrectorConfig
+    from .inference.ocean import OceanConfig, SlabOceanConfig
+    from .models import SFNO, SFNOConfig
+    from .utils.torch_convert import infer_sfno_architecture, sfno_torch_to_flax
+
+    import torch
+
+    ck = torch.load(path, map_location="cpu", weights_only=False)
+    state = ck["stepper"] if isinstance(ck, dict) and "stepper" in ck else ck
+    cfgd = dict(state["config"])
+    builder = dict(cfgd.get("builder") or {})
+    if builder.get("type") != "SphericalFourierNeuralOperatorNet":
+        raise NotImplementedError(
+            f"ACE module type {builder.get('type')!r}; only the SFNO family "
+            "is implemented"
+        )
+    sd = {k: np.asarray(v) for k, v in state["module"].items()}
+    # DDP-wrapped checkpoints prefix 'module.' (reference strip_leading_module)
+    if sd and all(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+    arch = infer_sfno_architecture(sd)
+    area_np = np.asarray(state["area"])
+    img_shape = tuple(state.get("img_shape") or area_np.shape)
+
+    bcfg = dict(builder.get("config") or {})
+    cfg_kwargs = dict(_filter_kwargs_dc(SFNOConfig, bcfg))
+    cfg_kwargs.update({
+        k: arch[k]
+        for k in ("embed_dim", "num_layers", "encoder_layers",
+                  "operator_type", "pos_embed", "use_mlp", "mlp_ratio")
+    })
+    # torch-side parity: exact erf GELU and two-pass norm statistics
+    cfg_kwargs.setdefault("activation_function", "gelu_exact")
+    if cfg_kwargs.get("activation_function") == "gelu":
+        cfg_kwargs["activation_function"] = "gelu_exact"
+    cfg_kwargs["exact_norm"] = True
+    for drop in ("img_shape", "in_chans", "out_chans", "with_time_emb"):
+        cfg_kwargs.pop(drop, None)
+    mcfg = SFNOConfig(
+        img_shape=img_shape, in_chans=arch["net_in_chans"],
+        out_chans=arch["net_out_chans"], with_time_emb=arch["with_time_emb"],
+        **cfg_kwargs,
+    )
+    model = SFNO(mcfg)
+    template = _init_sfno_variables(model, img_shape, arch["net_in_chans"])
+    variables = _merge_converted(
+        template, sfno_torch_to_flax(sd, arch["num_layers"],
+                                     arch["encoder_layers"]),
+    )
+
+    in_names = list(cfgd["in_names"])
+    out_names = list(cfgd["out_names"])
+    oc = cfgd.get("ocean")
+    ocean_cfg = None
+    if oc:
+        slab = oc.get("slab")
+        ocean_cfg = OceanConfig(
+            oc["surface_temperature_name"], oc["ocean_fraction_name"],
+            interpolate=bool(oc.get("interpolate", False)),
+            slab=SlabOceanConfig(**slab) if slab else None,
+        )
+    co = dict(cfgd.get("corrector") or {})
+    corrector_cfg = CorrectorConfig(
+        conserve_dry_air=bool(co.get("conserve_dry_air", False)),
+        zero_global_mean_moisture_advection=bool(
+            co.get("zero_global_mean_moisture_advection", False)
+        ),
+        moisture_budget_correction=co.get("moisture_budget_correction"),
+    ) if co else None
+
+    means = dict(state["normalizer"]["means"])
+    stds = dict(state["normalizer"]["stds"])
+    all_names = list(dict.fromkeys(
+        in_names + out_names + (list(ocean_cfg.names) if ocean_cfg else [])
+    ))
+    for n in all_names:  # physics-only fields (ocean mask): identity stats
+        means.setdefault(n, 0.0)
+        stds.setdefault(n, 1.0)
+    normalizer = StandardNormalizer.from_dicts(
+        {n: means[n] for n in all_names}, {n: stds[n] for n in all_names},
+        all_names,
+    )
+    sc = state.get("sigma_coordinates")
+    sigma = SigmaCoordinates(
+        ak=np.asarray(sc["ak"], np.float64), bk=np.asarray(sc["bk"], np.float64)
+    ) if sc else None
+
+    def model_fn(p, x_norm):
+        return model.apply(p, x_norm, deterministic=True)
+
+    stepper = SingleStepStepper(
+        SingleStepStepperConfig(
+            in_names=in_names, out_names=out_names,
+            loss=str((cfgd.get("loss") or {}).get("type", "l2")
+                     if isinstance(cfgd.get("loss"), dict) else "l2"),
+            corrector=corrector_cfg, ocean=ocean_cfg,
+        ),
+        model_fn, variables, normalizer,
+        jnp.asarray(area_np, jnp.float32), sigma=sigma,
+    )
+    return stepper, cfgd

@@ -37,6 +37,23 @@ def main_from_config(cfg: dict) -> dict:
     from .interface import load_experiment_checkpoint
 
     ckpt_path = cfg["checkpoint_path"]
+
+    # native ACE-format torch checkpoints ({"stepper":
+    # SingleModuleStepper.get_state()}, reference ace train.py:364) are
+    # self-contained — weights, normalizer, physics configs, area, sigma —
+    # and load directly into a ready SingleStepStepper
+    if (cfg.get("stepper_type", "dyffusion") == "ace"
+            and _peek_ace_torch_checkpoint(ckpt_path)):
+        from .interface import load_ace_stepper_checkpoint
+
+        stepper, _ace_cfg = load_ace_stepper_checkpoint(ckpt_path)
+        _guard_ace_knobs(cfg)
+        if cfg.get("params_dtype"):
+            stepper.params = _cast_tree_jit(stepper.params,
+                                            cfg["params_dtype"])
+        source, n_repeats = _ace_source(cfg, stepper)
+        return _run_ace_rollout(cfg, stepper, source, n_repeats)
+
     exp, params, ema_params, full_cfg = load_experiment_checkpoint(
         ckpt_path, overrides=cfg.get("overrides")
     )
@@ -154,6 +171,71 @@ def main_from_config(cfg: dict) -> dict:
     return {"summary": summary, "logs": logs, "aggregator": agg}
 
 
+def _peek_ace_torch_checkpoint(path: str) -> bool:
+    """True when ``path`` is a native ACE-format torch checkpoint (a dict
+    whose 'stepper' — or the dict itself — carries 'module' weights and the
+    stepper 'config')."""
+    from .utils.torch_convert import is_torch_checkpoint
+
+    if not is_torch_checkpoint(path):
+        return False
+    import torch
+
+    try:
+        ck = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        return False
+    if not isinstance(ck, dict):
+        return False
+    state = ck.get("stepper", ck)
+    return isinstance(state, dict) and "module" in state and "config" in state
+
+
+def _guard_ace_knobs(cfg: dict) -> None:
+    for k in ("n_ensemble", "preds_dtype"):
+        if cfg.get(k) not in (None, 1):
+            raise ValueError(
+                f"{k!r} is not supported on the ACE path (deterministic "
+                "single-member stepper; SteppedData carries full-precision "
+                "fields) — drop the key or use the DYffusion stepper"
+            )
+
+
+def _cast_tree_jit(tree, dtype: str):
+    """One jitted cast program for a whole param tree (per-leaf eager casts
+    are one tunnel dispatch each; see DYffusionStepper.params_dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    pd = jnp.dtype(dtype)
+    return jax.jit(lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(pd)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, t
+    ))(tree)
+
+
+def _ace_source(cfg: dict, stepper):
+    """Validation source for a ready ACE stepper: the configured netCDF
+    dataset, else a synthetic fallback matching the stepper's grid."""
+    import numpy as np
+
+    from .data.datasets import NetCDFTimeSeries, SyntheticTimeSeries
+
+    loader_cfg = cfg.get("validation_loader", {})
+    data_path = loader_cfg.get("dataset", {}).get("data_path")
+    n_steps = int(cfg.get("n_forward_steps", 100))
+    if data_path and os.path.exists(data_path):
+        return NetCDFTimeSeries(data_path), int(
+            loader_cfg.get("dataset", {}).get("n_repeats", 1) or 1
+        )
+    source = SyntheticTimeSeries(
+        list(stepper.cfg.all_names),
+        n_timesteps=int(cfg.get("forward_steps_in_memory", 50)) + 1,
+        spatial_shape=tuple(np.asarray(stepper.area).shape),
+    )
+    return source, max(4, n_steps)
+
+
 def _run_ace_from_checkpoint(cfg: dict, exp, params, full_cfg: dict) -> dict:
     """Build a SingleStepStepper around a loaded one-step experiment and run
     the windowed ACE rollout with aggregator + writers."""
@@ -189,13 +271,7 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params, full_cfg: dict) -> dict:
                      if n not in state_names]
     in_names = state_names + forcing_names
 
-    for k in ("n_ensemble", "preds_dtype"):
-        if cfg.get(k) not in (None, 1):
-            raise ValueError(
-                f"{k!r} is not supported on the ACE path (deterministic "
-                "single-member stepper; SteppedData carries full-precision "
-                "fields) — drop the key or use the DYffusion stepper"
-            )
+    _guard_ace_knobs(cfg)
 
     # same fallback order as the DYffusion branch: explicit config, else the
     # checkpoint datamodule's prescriber — a ckpt trained with prescribed SST
@@ -246,15 +322,7 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params, full_cfg: dict) -> dict:
     wants_time = bool(getattr(model.cfg, "with_time_emb", False))
 
     if cfg.get("params_dtype"):
-        import jax
-
-        pd = jnp.dtype(cfg["params_dtype"])
-        # one jitted program (per-leaf eager casts are one tunnel dispatch
-        # each; see DYffusionStepper.params_dtype)
-        params = jax.jit(lambda t: jax.tree_util.tree_map(
-            lambda a: a.astype(pd)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, t
-        ))(params)
+        params = _cast_tree_jit(params, cfg["params_dtype"])
 
     def model_fn(p, x_norm):
         kwargs = {"deterministic": True}
@@ -295,6 +363,22 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params, full_cfg: dict) -> dict:
         source.horizontal.area_weights(), sigma=sigma,
     )
 
+    return _run_ace_rollout(cfg, stepper, source, n_repeats)
+
+
+def _run_ace_rollout(cfg: dict, stepper, source, n_repeats: int) -> dict:
+    """Shared tail of both ACE entry paths (experiment-ckpt adapter and
+    native ACE-format ckpt): aggregator + writers + media + metrics.json."""
+    from .evaluation.aggregators import InferenceAggregator
+    from .inference import (
+        DataWriter,
+        DataWriterConfig,
+        ace_scored_names,
+        run_ace_inference,
+    )
+
+    out_names = list(stepper.cfg.out_names)
+    n_steps = int(cfg.get("n_forward_steps", 100))
     out_dir = cfg.get("experiment_dir", "results/inference_ace")
     os.makedirs(out_dir, exist_ok=True)
     derived = bool(cfg.get("derived", False))

@@ -224,3 +224,77 @@ def test_run_inference_cli_ace_stepper(tmp_path):
         logs = json.load(f)
     assert np.isfinite(logs["inference/avg/rmse"])
     assert os.path.exists(os.path.join(out_dir, "autoregressive_predictions.nc"))
+
+
+def test_ace_native_checkpoint_roundtrip_and_cli(tmp_path):
+    """A fabricated NATIVE ACE-format torch checkpoint ({"stepper":
+    SingleModuleStepper.get_state()}, reference ace train.py:364) loads into
+    a ready SingleStepStepper whose forward matches the source flax model,
+    and drives the CLI end to end."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from spherical_dyffusion_tpu.interface import load_ace_stepper_checkpoint
+    from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+    from spherical_dyffusion_tpu.utils.torch_convert import sfno_flax_to_torch
+
+    in_names = ["PRESsfc", "specific_total_water_0", "DSWRFtoa"]
+    out_names = in_names[:-1]
+    H, W = 8, 16
+    mcfg = SFNOConfig(img_shape=(H, W), in_chans=3, out_chans=2, embed_dim=8,
+                      num_layers=1, with_time_emb=False,
+                      activation_function="gelu_exact", exact_norm=True)
+    model = SFNO(mcfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, H, W, 3)))
+    sd = {k: torch.as_tensor(np.array(v))
+          for k, v in sfno_flax_to_torch(variables["params"]).items()}
+    K = 3
+    state = {
+        "module": sd,
+        "normalizer": {
+            "means": {n: 1.0 for n in in_names},
+            "stds": {n: 0.5 for n in in_names},
+        },
+        "img_shape": (H, W),
+        "config": {
+            "builder": {"type": "SphericalFourierNeuralOperatorNet",
+                        "config": {"scale_factor": 1}},
+            "in_names": in_names, "out_names": out_names,
+            "normalization": {"means": {}, "stds": {}},
+            "ocean": None,
+            "corrector": {"conserve_dry_air": True},
+        },
+        "area": torch.ones(H, W),
+        "sigma_coordinates": {"ak": list(np.linspace(0, 100.0, K + 1)),
+                              "bk": list(np.linspace(0, 1.0, K + 1))},
+    }
+    path = str(tmp_path / "ace_native.ckpt")
+    torch.save({"stepper": state}, path)
+
+    stepper, acecfg = load_ace_stepper_checkpoint(path)
+    assert stepper.corrector is not None
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, H, W, 3)),
+                    jnp.float32)
+    got = stepper.model_fn(stepper.params, x)
+    want = model.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    from spherical_dyffusion_tpu.run_inference import main_from_config
+
+    out_dir = str(tmp_path / "out_native")
+    result = main_from_config({
+        "checkpoint_path": path,
+        "stepper_type": "ace",
+        "experiment_dir": out_dir,
+        "n_forward_steps": 6,
+        "forward_steps_in_memory": 3,
+        "verbose": False,
+        "log_zonal_mean_images": False,
+    })
+    assert result["summary"]["n_forward_steps"] == 6
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        logs = json.load(f)
+    assert np.isfinite(logs["inference/avg/rmse"])
