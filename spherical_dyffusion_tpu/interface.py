@@ -547,6 +547,13 @@ def load_ace_stepper_checkpoint(path: str):
     # DDP-wrapped checkpoints prefix 'module.' (reference strip_leading_module)
     if sd and all(k.startswith("module.") for k in sd):
         sd = {k[len("module."):]: v for k, v in sd.items()}
+    if "blocks.0.filter.filter.weight" not in sd:
+        raise NotImplementedError(
+            "weight conversion covers the linear filter family "
+            "(filter_type='linear', dhconv/diagonal); this checkpoint's "
+            "block-0 filter keys are "
+            f"{sorted(k for k in sd if k.startswith('blocks.0.filter'))[:4]}"
+        )
     arch = infer_sfno_architecture(sd)
     area_np = np.asarray(state["area"])
     img_shape = tuple(state.get("img_shape") or area_np.shape)
