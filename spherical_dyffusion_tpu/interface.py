@@ -510,7 +510,7 @@ def _restore_params(exp, dm, state_dict):
     return serialization.from_state_dict(template, state_dict)
 
 
-def load_ace_stepper_checkpoint(path: str):
+def load_ace_stepper_checkpoint(path: str, _preloaded=None):
     """Load a reference/upstream ACE torch checkpoint into a ready
     :class:`~.inference.SingleStepStepper`.
 
@@ -532,9 +532,12 @@ def load_ace_stepper_checkpoint(path: str):
     from .models import SFNO, SFNOConfig
     from .utils.torch_convert import infer_sfno_architecture, sfno_torch_to_flax
 
-    import torch
+    if _preloaded is not None:
+        ck = _preloaded  # already torch.load'ed by the caller's format probe
+    else:
+        import torch
 
-    ck = torch.load(path, map_location="cpu", weights_only=False)
+        ck = torch.load(path, map_location="cpu", weights_only=False)
     state = ck["stepper"] if isinstance(ck, dict) and "stepper" in ck else ck
     cfgd = dict(state["config"])
     builder = dict(cfgd.get("builder") or {})
@@ -558,20 +561,42 @@ def load_ace_stepper_checkpoint(path: str):
     area_np = np.asarray(state["area"])
     img_shape = tuple(state.get("img_shape") or area_np.shape)
 
-    bcfg = dict(builder.get("config") or {})
+    # ModuleSelector.get_state() stores only the raw training-yaml mapping —
+    # keys the yaml relied on defaults for are ABSENT, so the reference ACE
+    # builder defaults (registry.py:44-66) must be applied here, not this
+    # repo's SFNOConfig defaults (notably data_grid: the reference default is
+    # legendre-gauss vs our equiangular — a silent quadrature change)
+    ACE_BUILDER_DEFAULTS = {
+        "spectral_transform": "sht",
+        "operator_type": "diagonal",
+        "scale_factor": 16,
+        "hard_thresholding_fraction": 1.0,
+        "normalization_layer": "instance_norm",
+        "activation_function": "gelu",
+        "big_skip": True,
+        "rank": 1.0,
+        "factorization": None,
+        "separable": False,
+        "complex_activation": "real",
+        "data_grid": "legendre-gauss",
+    }
+    bcfg = {**ACE_BUILDER_DEFAULTS, **dict(builder.get("config") or {})}
     cfg_kwargs = dict(_filter_kwargs_dc(SFNOConfig, bcfg))
     cfg_kwargs.update({
         k: arch[k]
         for k in ("embed_dim", "num_layers", "encoder_layers",
                   "operator_type", "pos_embed", "use_mlp", "mlp_ratio")
     })
+    # scale_factor recovered from the weights when possible (pos_embed lives
+    # on the model grid img_shape // scale_factor) — weights beat config
+    if "pos_embed" in sd:
+        pe_h = int(np.asarray(sd["pos_embed"]).shape[2])
+        if pe_h and img_shape[0] % pe_h == 0:
+            cfg_kwargs["scale_factor"] = img_shape[0] // pe_h
     # torch-side parity: exact erf GELU and two-pass norm statistics
-    cfg_kwargs.setdefault("activation_function", "gelu_exact")
     if cfg_kwargs.get("activation_function") == "gelu":
         cfg_kwargs["activation_function"] = "gelu_exact"
     cfg_kwargs["exact_norm"] = True
-    for drop in ("img_shape", "in_chans", "out_chans", "with_time_emb"):
-        cfg_kwargs.pop(drop, None)
     mcfg = SFNOConfig(
         img_shape=img_shape, in_chans=arch["net_in_chans"],
         out_chans=arch["net_out_chans"], with_time_emb=arch["with_time_emb"],
@@ -624,11 +649,17 @@ def load_ace_stepper_checkpoint(path: str):
     def model_fn(p, x_norm):
         return model.apply(p, x_norm, deterministic=True)
 
+    # reference loss-type names -> our criterion registry: LpLoss is the
+    # RELATIVE Lp norm with p=2 (ace core/loss.py:104-126); AreaWeightedMSE
+    # approximated by plain MSE (the stepper loss is a rollout diagnostic
+    # here, not a training objective)
+    ref_loss = str((cfgd.get("loss") or {}).get("type", "LpLoss")
+                   if isinstance(cfgd.get("loss"), dict) else "LpLoss")
+    loss_name = {"LpLoss": "l2_rel", "MSE": "l2",
+                 "AreaWeightedMSE": "l2"}.get(ref_loss, "l2")
     stepper = SingleStepStepper(
         SingleStepStepperConfig(
-            in_names=in_names, out_names=out_names,
-            loss=str((cfgd.get("loss") or {}).get("type", "l2")
-                     if isinstance(cfgd.get("loss"), dict) else "l2"),
+            in_names=in_names, out_names=out_names, loss=loss_name,
             corrector=corrector_cfg, ocean=ocean_cfg,
         ),
         model_fn, variables, normalizer,

@@ -42,17 +42,26 @@ def main_from_config(cfg: dict) -> dict:
     # SingleModuleStepper.get_state()}, reference ace train.py:364) are
     # self-contained — weights, normalizer, physics configs, area, sigma —
     # and load directly into a ready SingleStepStepper
-    if (cfg.get("stepper_type", "dyffusion") == "ace"
-            and _peek_ace_torch_checkpoint(ckpt_path)):
-        from .interface import load_ace_stepper_checkpoint
+    if cfg.get("stepper_type", "dyffusion") == "ace":
+        _guard_ace_knobs(cfg)  # cheap checks BEFORE any checkpoint load
+        ck = _load_if_ace_torch_checkpoint(ckpt_path)
+        if ck is not None:
+            from .interface import load_ace_stepper_checkpoint
 
-        stepper, _ace_cfg = load_ace_stepper_checkpoint(ckpt_path)
-        _guard_ace_knobs(cfg)
-        if cfg.get("params_dtype"):
-            stepper.params = _cast_tree_jit(stepper.params,
-                                            cfg["params_dtype"])
-        source, n_repeats = _ace_source(cfg, stepper)
-        return _run_ace_rollout(cfg, stepper, source, n_repeats)
+            stepper, _ace_cfg = load_ace_stepper_checkpoint(
+                ckpt_path, _preloaded=ck
+            )
+            stepper = _apply_ace_physics_overrides(cfg, stepper)
+            if cfg.get("params_dtype"):
+                stepper.params = _cast_tree_jit(stepper.params,
+                                                cfg["params_dtype"])
+            import numpy as _np
+
+            source, n_repeats = _ace_source(
+                cfg, list(stepper.cfg.all_names),
+                tuple(_np.asarray(stepper.area).shape),
+            )
+            return _run_ace_rollout(cfg, stepper, source, n_repeats)
 
     exp, params, ema_params, full_cfg = load_experiment_checkpoint(
         ckpt_path, overrides=cfg.get("overrides")
@@ -150,45 +159,125 @@ def main_from_config(cfg: dict) -> dict:
         for entry in agg.get_inference_logs():
             logger.log(entry, step=int(entry["timestep"]))
         logger.finish()
-    # media outputs (reference snapshot/zonal-mean/video artifacts)
+    _save_media(agg, list(exp.out_packer.names), out_dir)
+    print(json.dumps({k: round(float(v), 5) for k, v in summary.items()}))
+    return {"summary": summary, "logs": logs, "aggregator": agg}
+
+
+def _save_media(agg, names, out_dir: str) -> None:
+    """Snapshot panels, zonal-mean Hovmoellers and rollout videos (reference
+    snapshot/zonal-mean/video artifacts); media must never kill a rollout."""
     try:
         if agg.snapshots.snapshots:
             from .evaluation.plots import plot_snapshot_panels
 
-            plot_snapshot_panels(agg.snapshots.snapshots, list(exp.out_packer.names),
+            plot_snapshot_panels(agg.snapshots.snapshots, names,
                                  os.path.join(out_dir, "snapshots"))
         if agg.zonal is not None and agg.zonal.get_maps() is not None:
             from .evaluation.plots import plot_zonal_mean_hovmoeller
 
             pz, tz = agg.zonal.get_maps()
-            plot_zonal_mean_hovmoeller(pz, tz, list(exp.out_packer.names),
+            plot_zonal_mean_hovmoeller(pz, tz, names,
                                        os.path.join(out_dir, "zonal_means"))
         if agg.video is not None:
             agg.video.save(os.path.join(out_dir, "videos.nc"))
-    except Exception as e:  # media must never kill a rollout
+    except Exception as e:
         print(f"[media] skipped: {e}")
-    print(json.dumps({k: round(float(v), 5) for k, v in summary.items()}))
-    return {"summary": summary, "logs": logs, "aggregator": agg}
 
 
-def _peek_ace_torch_checkpoint(path: str) -> bool:
-    """True when ``path`` is a native ACE-format torch checkpoint (a dict
-    whose 'stepper' — or the dict itself — carries 'module' weights and the
-    stepper 'config')."""
+def _load_if_ace_torch_checkpoint(path: str):
+    """torch.load ``path`` and return the loaded dict when it is a native
+    ACE-format checkpoint (its 'stepper' — or the dict itself — carries
+    'module' weights and the stepper 'config'); None otherwise. Loading once
+    here and passing the dict through avoids a second multi-hundred-MB
+    deserialization in the loader."""
     from .utils.torch_convert import is_torch_checkpoint
 
     if not is_torch_checkpoint(path):
-        return False
+        return None
     import torch
 
     try:
         ck = torch.load(path, map_location="cpu", weights_only=False)
     except Exception:
-        return False
+        return None
     if not isinstance(ck, dict):
-        return False
+        return None
     state = ck.get("stepper", ck)
-    return isinstance(state, dict) and "module" in state and "config" in state
+    if isinstance(state, dict) and "module" in state and "config" in state:
+        return ck
+    return None
+
+
+def _ocean_cfg_from(o: dict):
+    """prescriber/ocean config block -> OceanConfig (shared mapping + the
+    loud mask_value guard)."""
+    from .inference.ocean import OceanConfig, SlabOceanConfig
+
+    if int(o.get("mask_value", 1)) != 1:
+        raise ValueError(
+            "the ACE ocean prescribes where round(mask) == 1; "
+            f"mask_value={o['mask_value']} would be silently inverted — "
+            "invert the mask variable instead"
+        )
+    slab = o.get("slab")
+    return OceanConfig(
+        o.get("surface_temperature_name") or o.get("prescribed_name"),
+        o.get("ocean_fraction_name") or o.get("mask_name"),
+        interpolate=bool(o.get("interpolate", False)),
+        slab=SlabOceanConfig(**slab) if slab else None,
+    )
+
+
+def _sigma_from(sg: dict):
+    import numpy as np
+
+    from .data.coords import SigmaCoordinates
+
+    return SigmaCoordinates(ak=np.asarray(sg["ak"], np.float64),
+                            bk=np.asarray(sg["bk"], np.float64))
+
+
+def _apply_ace_physics_overrides(cfg: dict, stepper):
+    """Explicit corrector/ocean/sigma keys in the run config override the
+    checkpoint's embedded physics (the native loader uses the embedded ones;
+    silently ignoring the user's keys would run different physics than
+    asked)."""
+    import dataclasses as _dc
+
+    o = cfg.get("ocean") or cfg.get("prescriber")
+    co = cfg.get("corrector")
+    sg = cfg.get("sigma_coordinates")
+    if not (o or co or sg):
+        return stepper
+    from .data.normalization import StandardNormalizer
+    from .inference import SingleStepStepper, SingleStepStepperConfig
+    from .inference.corrector import CorrectorConfig
+
+    ocean_cfg = _ocean_cfg_from(o) if o else stepper.cfg.ocean
+    corrector_cfg = CorrectorConfig(**co) if co else stepper.cfg.corrector
+    sigma = _sigma_from(sg) if sg else stepper.sigma
+    new_cfg = SingleStepStepperConfig(
+        in_names=list(stepper.cfg.in_names),
+        out_names=list(stepper.cfg.out_names),
+        loss=stepper.cfg.loss, corrector=corrector_cfg, ocean=ocean_cfg,
+    )
+    # extend the normalizer with identity stats for any NEW physics-only
+    # fields the override introduces (e.g. a different ocean mask name)
+    st = stepper.normalizer.get_state()
+    means, stds = dict(st["means"]), dict(st["stds"])
+    all_names = list(dict.fromkeys(
+        list(stepper.normalizer.names) + list(new_cfg.all_names)
+    ))
+    for n in all_names:
+        means.setdefault(n, 0.0)
+        stds.setdefault(n, 1.0)
+    normalizer = StandardNormalizer.from_dicts(
+        {n: means[n] for n in all_names}, {n: stds[n] for n in all_names},
+        all_names,
+    )
+    return SingleStepStepper(new_cfg, stepper.model_fn, stepper.params,
+                             normalizer, stepper.area, sigma=sigma)
 
 
 def _guard_ace_knobs(cfg: dict) -> None:
@@ -214,11 +303,9 @@ def _cast_tree_jit(tree, dtype: str):
     ))(tree)
 
 
-def _ace_source(cfg: dict, stepper):
-    """Validation source for a ready ACE stepper: the configured netCDF
-    dataset, else a synthetic fallback matching the stepper's grid."""
-    import numpy as np
-
+def _ace_source(cfg: dict, names, spatial_shape):
+    """Validation source for an ACE rollout: the configured netCDF dataset,
+    else a synthetic fallback over ``names`` on ``spatial_shape``."""
     from .data.datasets import NetCDFTimeSeries, SyntheticTimeSeries
 
     loader_cfg = cfg.get("validation_loader", {})
@@ -229,9 +316,9 @@ def _ace_source(cfg: dict, stepper):
             loader_cfg.get("dataset", {}).get("n_repeats", 1) or 1
         )
     source = SyntheticTimeSeries(
-        list(stepper.cfg.all_names),
+        list(names),
         n_timesteps=int(cfg.get("forward_steps_in_memory", 50)) + 1,
-        spatial_shape=tuple(np.asarray(stepper.area).shape),
+        spatial_shape=tuple(spatial_shape),
     )
     return source, max(4, n_steps)
 
@@ -241,19 +328,9 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params, full_cfg: dict) -> dict:
     the windowed ACE rollout with aggregator + writers."""
     import jax.numpy as jnp
 
-    from .data.datasets import NetCDFTimeSeries, SyntheticTimeSeries
     from .data.normalization import StandardNormalizer
-    from .evaluation.aggregators import InferenceAggregator
-    from .inference import (
-        DataWriter,
-        DataWriterConfig,
-        SingleStepStepper,
-        SingleStepStepperConfig,
-        ace_scored_names,
-        run_ace_inference,
-    )
+    from .inference import SingleStepStepper, SingleStepStepperConfig
     from .inference.corrector import CorrectorConfig
-    from .inference.ocean import OceanConfig
 
     if getattr(exp, "horizon_at_once", 1) != 1:
         raise ValueError(
@@ -278,23 +355,7 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params, full_cfg: dict) -> dict:
     # must not silently roll out free-running
     o = (cfg.get("ocean") or cfg.get("prescriber")
          or full_cfg.get("datamodule", {}).get("prescriber"))
-    ocean_cfg = None
-    if o:
-        from .inference.ocean import SlabOceanConfig
-
-        if int(o.get("mask_value", 1)) != 1:
-            raise ValueError(
-                "the ACE ocean prescribes where round(mask) == 1; "
-                f"mask_value={o['mask_value']} would be silently inverted — "
-                "invert the mask variable instead"
-            )
-        slab = o.get("slab")
-        ocean_cfg = OceanConfig(
-            o.get("surface_temperature_name") or o.get("prescribed_name"),
-            o.get("ocean_fraction_name") or o.get("mask_name"),
-            interpolate=bool(o.get("interpolate", False)),
-            slab=SlabOceanConfig(**slab) if slab else None,
-        )
+    ocean_cfg = _ocean_cfg_from(o) if o else None
     corr = cfg.get("corrector")
     corrector_cfg = CorrectorConfig(**corr) if corr else None
 
@@ -332,27 +393,9 @@ def _run_ace_from_checkpoint(cfg: dict, exp, params, full_cfg: dict) -> dict:
             kwargs["time"] = jnp.zeros((x_norm.shape[0],))
         return model.apply(p, x_norm[..., :n_state], **kwargs)
 
-    loader_cfg = cfg.get("validation_loader", {})
-    data_path = loader_cfg.get("dataset", {}).get("data_path")
-    n_steps = int(cfg.get("n_forward_steps", 100))
-    if data_path and os.path.exists(data_path):
-        source = NetCDFTimeSeries(data_path)
-        n_repeats = int(loader_cfg.get("dataset", {}).get("n_repeats", 1) or 1)
-    else:
-        source = SyntheticTimeSeries(
-            all_names, n_timesteps=int(cfg.get("forward_steps_in_memory", 50)) + 1,
-            spatial_shape=exp.model.cfg.img_shape,
-        )
-        n_repeats = max(4, n_steps)
-    sigma = cfg.get("sigma_coordinates")
-    if sigma is not None:
-        from .data.coords import SigmaCoordinates
-        import numpy as _np
-
-        sigma = SigmaCoordinates(ak=_np.asarray(sigma["ak"], _np.float64),
-                                 bk=_np.asarray(sigma["bk"], _np.float64))
-    else:
-        sigma = source.sigma
+    source, n_repeats = _ace_source(cfg, all_names, exp.model.cfg.img_shape)
+    sg = cfg.get("sigma_coordinates")
+    sigma = _sigma_from(sg) if sg else source.sigma
 
     stepper = SingleStepStepper(
         SingleStepStepperConfig(
@@ -408,21 +451,7 @@ def _run_ace_rollout(cfg: dict, stepper, source, n_repeats: int) -> dict:
     logs = agg.get_logs()
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump({**summary, **logs}, f, indent=1)
-    # media outputs, same set as the DYffusion branch
-    try:
-        if agg.snapshots.snapshots:
-            from .evaluation.plots import plot_snapshot_panels
-
-            plot_snapshot_panels(agg.snapshots.snapshots, scored,
-                                 os.path.join(out_dir, "snapshots"))
-        if agg.zonal is not None and agg.zonal.get_maps() is not None:
-            from .evaluation.plots import plot_zonal_mean_hovmoeller
-
-            pz, tz = agg.zonal.get_maps()
-            plot_zonal_mean_hovmoeller(pz, tz, scored,
-                                       os.path.join(out_dir, "zonal_means"))
-    except Exception as e:  # media must never kill a rollout
-        print(f"[media] skipped: {e}")
+    _save_media(agg, scored, out_dir)
     print(json.dumps({k: round(float(v), 5) for k, v in summary.items()}))
     return {"summary": summary, "logs": logs, "aggregator": agg}
 
