@@ -259,8 +259,12 @@ def test_ace_native_checkpoint_roundtrip_and_cli(tmp_path):
         },
         "img_shape": (H, W),
         "config": {
+            # data_grid set EXPLICITLY to match the source model: keys absent
+            # from the stored builder config take the reference ACE defaults
+            # (data_grid legendre-gauss), not this repo's
             "builder": {"type": "SphericalFourierNeuralOperatorNet",
-                        "config": {"scale_factor": 1}},
+                        "config": {"scale_factor": 1,
+                                   "data_grid": "equiangular"}},
             "in_names": in_names, "out_names": out_names,
             "normalization": {"means": {}, "stds": {}},
             "ocean": None,
@@ -275,6 +279,8 @@ def test_ace_native_checkpoint_roundtrip_and_cli(tmp_path):
 
     stepper, acecfg = load_ace_stepper_checkpoint(path)
     assert stepper.corrector is not None
+    # reference LpLoss (relative L2) mapped to our l2_rel
+    assert stepper.cfg.loss == "l2_rel" or acecfg.get("loss") is None
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1, H, W, 3)),
                     jnp.float32)
     got = stepper.model_fn(stepper.params, x)
