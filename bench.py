@@ -29,6 +29,38 @@ if os.environ.get("BENCH_PLATFORM"):
 import jax.numpy as jnp
 import numpy as np
 
+
+def _probe_device(timeout_s: int = 120) -> bool:
+    """Fail fast when the axon tunnel is dead: backend init then HANGS
+    indefinitely (observed: connection refused on 127.0.0.1:8093 after the
+    remote service dies), which would turn the whole bench into a silent
+    timeout. Probe in a subprocess with a hard deadline and emit a parseable
+    zero-result instead. Skipped for CPU runs."""
+    if os.environ.get("BENCH_PLATFORM") == "cpu":
+        return True
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            ["python", "-c",
+             "import jax, jax.numpy as jnp; "
+             "jax.jit(lambda a: (a*2).sum())(jnp.ones((8,8)))"
+             ".block_until_ready()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        if r.returncode == 0:
+            return True
+    except subprocess.TimeoutExpired:
+        pass
+    print(json.dumps({
+        "metric": "simulated_years_per_day", "value": 0.0,
+        "unit": "TPU tunnel unreachable (device probe hung/failed; see "
+                ".claude/skills/verify/SKILL.md 'Tunnel health') — no "
+                "benchmark was run",
+        "vs_baseline": 0.0,
+    }))
+    return False
+
 from spherical_dyffusion_tpu.data import Packer, StandardNormalizer, SyntheticTimeSeries
 from spherical_dyffusion_tpu.diffusion import DYffusionConfig
 from spherical_dyffusion_tpu.inference import DYffusionStepper, PrescriberConfig
@@ -444,6 +476,8 @@ def mesh_bench(embed, layers, window, total_steps, n_ensemble):
 
 
 def main():
+    if not _probe_device():
+        return
     embed = int(os.environ.get("BENCH_EMBED", 256))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
     window = int(os.environ.get("BENCH_WINDOW", 96))
