@@ -98,24 +98,32 @@ class SingleStepStepper:
 
     # ------------------------------------------------------------------- run
     def run_on_batch(self, data: Dict[str, np.ndarray], n_forward_steps: int,
-                     initial_state_norm: Optional[jax.Array] = None) -> SteppedData:
+                     initial_state_norm: Optional[jax.Array] = None,
+                     lean: bool = False) -> SteppedData:
         """data: {name: (B, T+1, H, W)} raw fields covering the rollout.
 
         ``initial_state_norm``: normalized (B, H, W, C_in) state to start from
         instead of ``data[:, 0]`` — carries the model state across windows in
         a chained rollout (the reference loop's ``data_requirements``
-        hand-off, ace_inference/inference/loop.py)."""
-        key = (n_forward_steps, initial_state_norm is not None)
+        hand-off, ace_inference/inference/loop.py).
+
+        ``lean``: return only ``gen_data`` + the total loss + the hand-off
+        state. The target/normalized dict quartet roughly doubles the
+        window's resident HBM (4 x n_names full-window maps); the rollout
+        driver derives targets from its own input data."""
+        key = (n_forward_steps, initial_state_norm is not None, lean)
         fn = self._jitted.get(key)
         if fn is None:
             fn = self._jitted[key] = jax.jit(
-                lambda params, d, x0: self._run(params, d, n_forward_steps, x0)
+                lambda params, d, x0: self._run(params, d, n_forward_steps,
+                                                x0, lean)
             )
         data_j = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
         return fn(self.params, data_j, initial_state_norm)
 
     def _run(self, params, data: Dict[str, jax.Array], n_steps: int,
-             x0_override: Optional[jax.Array] = None) -> SteppedData:
+             x0_override: Optional[jax.Array] = None,
+             lean: bool = False) -> SteppedData:
         cfg = self.cfg
         in_names = list(cfg.in_names)
         out_names = list(cfg.out_names)
@@ -171,6 +179,14 @@ class SingleStepStepper:
         # prepend initial state (reference prepends input as first timestep)
         init_out_raw = jnp.stack([data[n][:, 0] for n in out_names], axis=-1)
         gen_raw_full = jnp.concatenate([init_out_raw[:, None], gen_raw_seq], axis=1)
+        if lean:
+            return SteppedData(
+                metrics={"loss": jnp.sum(step_losses)},
+                gen_data={n: gen_raw_full[..., i]
+                          for i, n in enumerate(out_names)},
+                target_data={}, gen_data_norm={}, target_data_norm={},
+                final_input_norm=x_final,
+            )
         gen_norm_full = jnp.concatenate(
             [out_norm.normalize(init_out_raw)[:, None], gen_norm_seq], axis=1
         )
@@ -355,7 +371,8 @@ def run_ace_inference(
         timers["data_loading"] += _time.time() - t0
 
         t0 = _time.time()
-        out = stepper.run_on_batch(data, n, initial_state_norm=x_norm)
+        out = stepper.run_on_batch(data, n, initial_state_norm=x_norm,
+                                   lean=True)
         x_norm = out.final_input_norm
         jax.block_until_ready(out.metrics["loss"])
         timers["run_on_batch"] += _time.time() - t0
