@@ -297,14 +297,14 @@ def ace_bench(embed, layers, window, total_steps, dtype):
     data = {n: jnp.asarray(data[n].astype(np.float32)) for n in all_names}
 
     t0 = time.time()
-    out = stepper.run_on_batch(data, n_forward_steps=window)
+    out = stepper.run_on_batch(data, n_forward_steps=window, lean=True)
     jax.block_until_ready(out.metrics["loss"])
     compile_s = time.time() - t0
     times = []
     n_windows = max(1, total_steps // window)
     for _ in range(n_windows):
         t0 = time.time()
-        out = stepper.run_on_batch(data, n_forward_steps=window)
+        out = stepper.run_on_batch(data, n_forward_steps=window, lean=True)
         jax.block_until_ready(out.metrics["loss"])
         times.append(time.time() - t0)
     med = float(np.median(times))
