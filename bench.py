@@ -90,7 +90,7 @@ def mkkey(i: int):
 
 def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
           merged_dhconv=False, params_dtype=None, preds_dtype=None,
-          thresh=1.0):
+          thresh=1.0, factorization="", rank=1.0):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -113,6 +113,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
         sht_fold_symmetry=fold, use_pallas=use_pallas,
         merged_dhconv=merged_dhconv, hard_thresholding_fraction=thresh,
+        factorization=factorization, rank=rank,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -123,6 +124,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         compute_dtype=dtype, sht_matmul_dtype=dtype, sht_fold_symmetry=fold,
         use_pallas=use_pallas, merged_dhconv=merged_dhconv,
         hard_thresholding_fraction=thresh,
+        factorization=factorization, rank=rank,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -510,6 +512,13 @@ def main():
     # Legendre/dhconv FLOPs+bytes quadratically-ish; a MODEL change, so any
     # non-1.0 use needs its own skill study.
     thresh = float(os.environ.get("BENCH_THRESH", "1.0"))
+    # BENCH_FACT / BENCH_RANK: factorized spectral weights (cp|tucker|tt, rank
+    # as a fraction of embed). The reference exposes the same family via
+    # tensorly (s2convolutions.py factorization/rank). CP at rank r has
+    # 2*r*embed multiplies per mode vs embed^2 dense — FLOP parity at r=0.5,
+    # wins below. A MODEL change: any non-dense use needs its own skill study.
+    factorization = os.environ.get("BENCH_FACT", "")
+    rank = float(os.environ.get("BENCH_RANK", "1.0"))
 
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         return train_bench(embed, layers, window)
@@ -525,7 +534,7 @@ def main():
 
     stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas,
                                              merged, params_dtype, preds_dtype,
-                                             thresh)
+                                             thresh, factorization, rank)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 
