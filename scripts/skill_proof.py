@@ -76,6 +76,12 @@ def main(argv=None) -> dict:
                     help="spectral hard_thresholding_fraction for both "
                          "networks (model change: quantifies the skill cost "
                          "of the BENCH_THRESH speed knob)")
+    ap.add_argument("--factorization", default="",
+                    help="spectral-weight factorization for both networks "
+                         "(cp|tucker|tt; model change — quantifies the skill "
+                         "cost of the BENCH_FACT speed knob)")
+    ap.add_argument("--rank", type=float, default=1.0,
+                    help="factorization rank as a fraction of embed")
     args = ap.parse_args(argv)
 
     import jax
@@ -161,6 +167,7 @@ def main(argv=None) -> dict:
         dropout_mlp=P["dropout"], min_time=1, max_time=HORIZON - 1,
         compute_dtype=args.dtype, sht_matmul_dtype=args.dtype,
         hard_thresholding_fraction=args.thresh,
+        factorization=args.factorization, rank=args.rank,
     ))
     interp = InterpolationExperiment(imodel, icfg, dm.in_packer, dm.out_packer,
                                      dm.normalizer)
@@ -245,6 +252,7 @@ def main(argv=None) -> dict:
         min_time=0, max_time=HORIZON - 1,
         compute_dtype=args.dtype, sht_matmul_dtype=args.dtype,
         hard_thresholding_fraction=args.thresh,
+        factorization=args.factorization, rank=args.rank,
     ))
     fexp = DYffusionForecastingExperiment(
         fmodel, interp, ip_params, dcfg,
