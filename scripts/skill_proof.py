@@ -153,7 +153,9 @@ def main(argv=None) -> dict:
     w = jnp.asarray(dm.grid.horizontal.area_weights())
     out_norm = dm.normalizer
     os.makedirs(args.out, exist_ok=True)
-    report = {"preset": args.preset, "params": P}
+    report = {"preset": args.preset, "params": P,
+              "thresh": args.thresh, "factorization": args.factorization,
+              "rank": args.rank}
     t_start = time.time()
 
     # ---------------------------------------------------------------- stage 1
