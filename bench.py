@@ -90,7 +90,7 @@ def mkkey(i: int):
 
 def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
           merged_dhconv=False, params_dtype=None, preds_dtype=None,
-          thresh=1.0, factorization="", rank=1.0):
+          thresh=1.0, factorization="", rank=1.0, rank_pipeline=True):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -113,7 +113,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
         sht_fold_symmetry=fold, use_pallas=use_pallas,
         merged_dhconv=merged_dhconv, hard_thresholding_fraction=thresh,
-        factorization=factorization, rank=rank,
+        factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -124,7 +124,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         compute_dtype=dtype, sht_matmul_dtype=dtype, sht_fold_symmetry=fold,
         use_pallas=use_pallas, merged_dhconv=merged_dhconv,
         hard_thresholding_fraction=thresh,
-        factorization=factorization, rank=rank,
+        factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -519,6 +519,9 @@ def main():
     # wins below. A MODEL change: any non-dense use needs its own skill study.
     factorization = os.environ.get("BENCH_FACT", "")
     rank = float(os.environ.get("BENCH_RANK", "1.0"))
+    # BENCH_RANKPIPE=0 reverts CP to the spectral-space contraction (the
+    # rank-space grid-projected pipeline is the default; exactly equivalent)
+    rank_pipeline = os.environ.get("BENCH_RANKPIPE", "1") == "1"
 
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         return train_bench(embed, layers, window)
@@ -534,7 +537,8 @@ def main():
 
     stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas,
                                              merged, params_dtype, preds_dtype,
-                                             thresh, factorization, rank)
+                                             thresh, factorization, rank,
+                                             rank_pipeline)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 

@@ -34,6 +34,9 @@ from ..ops.contractions import (
     contract_dhconv_stacked,
     contract_dhconv_tt,
     contract_dhconv_tucker,
+    cp_spatial_expand,
+    cp_spatial_project,
+    cp_spectral_scale_stacked,
 )
 from .modules import (
     DropPath,
@@ -90,6 +93,10 @@ class SFNOConfig:
     # factorized spectral weights (reference tltorch, s2convolutions.py:133-143)
     factorization: Optional[str] = None  # None | "cp"
     rank: float = 1.0
+    # CP rank-space spectral pipeline (SpectralConvS2.rank_pipeline): run the
+    # SHT/ISHT at 2R channels with the CP projections moved to grid space —
+    # mathematically identical, ~half the transform bytes/FLOPs at R = c/4
+    rank_pipeline: bool = True
     # spectral attention (filter_type == "non-linear")
     spectral_layers: int = 3
     complex_activation: str = "real"
@@ -199,6 +206,14 @@ class SpectralConvS2(nn.Module):
     # 5.4-5.5s): XLA overlaps the four smaller GEMMs better than it tiles the
     # one big one. Kept opt-in for other shapes/hardware.
     merged_dhconv: bool = False
+    # rank-space spectral pipeline for CP weights: the CP channel projections
+    # commute with the SHT, so the whole SHT -> per-l scale -> ISHT runs at
+    # 2R channels instead of ci/co (half the transform bytes/FLOPs at R=c/4)
+    # and the per-l dhconv GEMM becomes an elementwise scale. Mathematically
+    # identical to the spectral-space CP contraction (equivalence-tested);
+    # falls back to it when the in/out grids differ (the residual regrid
+    # needs full-channel transforms anyway).
+    rank_pipeline: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mats=None) -> tuple[jax.Array, jax.Array]:
@@ -249,6 +264,38 @@ class SpectralConvS2(nn.Module):
             )
 
         residual = x
+        scale_residual = (
+            self.forward_transform.nlat != self.inverse_transform.nlat
+            or self.forward_transform.nlon != self.inverse_transform.nlon
+            or self.forward_transform.grid != self.inverse_transform.grid
+        )
+
+        # rank-space CP pipeline (see the field docstring): project channels
+        # to rank in grid space, transform 2R channels, per-l elementwise
+        # scale, inverse-transform 2R channels, expand in grid space
+        if (
+            self.rank_pipeline
+            and self.factorization == "cp"
+            and self.operator_type == "dhconv"
+            and not self.separable
+            and not scale_residual
+            and isinstance(self.forward_transform, RealSHT)
+            and isinstance(self.inverse_transform, InverseRealSHT)
+            # transforms run at 2R channels: only cheaper than the ci/co
+            # spectral-space form when the rank is below half the width
+            and 2 * R <= min(self.in_channels, self.out_channels)
+        ):
+            md = self.matmul_dtype or None
+            z = cp_spatial_project(x.astype(jnp.float32), weight["A"], md)
+            zs = self.forward_transform(z, fwd_m, fwd_d, stacked=True)
+            t = cp_spectral_scale_stacked(zs, weight["C"])
+            g = self.inverse_transform(t, inv_m, inv_d)
+            out = cp_spatial_expand(g, weight["B"], md)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+                out = out + bias
+            return out.astype(dtype), residual
+
         # fused stacked pipeline: for the dense dhconv the SHT emits the
         # (..., l, m, c, 2) real layout, the contraction is ONE merged batched
         # GEMM (weights/activations cross HBM once, 2x bigger tiles), and the
@@ -265,11 +312,6 @@ class SpectralConvS2(nn.Module):
         xs = self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d,
                                     stacked=True) if use_stacked else \
             self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d)
-        scale_residual = (
-            self.forward_transform.nlat != self.inverse_transform.nlat
-            or self.forward_transform.nlon != self.inverse_transform.nlon
-            or self.forward_transform.grid != self.inverse_transform.grid
-        )
         if scale_residual:
             residual = self.inverse_transform(xs, inv_m, inv_d).astype(dtype)
 
@@ -418,6 +460,7 @@ class FNOBlock(nn.Module):
                 rank=cfg.rank,
                 use_pallas=cfg.use_pallas,
                 merged_dhconv=cfg.merged_dhconv,
+                rank_pipeline=cfg.rank_pipeline,
                 name="filter",
             )
         elif cfg.filter_type == "non-linear":

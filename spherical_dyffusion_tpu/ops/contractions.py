@@ -32,7 +32,8 @@ def _effective_matmul_dtype(requested):
 
 __all__ = ["contract_dhconv", "contract_dhconv_stacked", "contract_diagonal",
            "contract_dhconv_cp", "contract_dhconv_tucker", "contract_dhconv_tt",
-           "contract"]
+           "contract", "cp_spatial_project", "cp_spectral_scale_stacked",
+           "cp_spatial_expand"]
 
 
 def _as_complex(w: jax.Array) -> jax.Array:
@@ -163,6 +164,75 @@ def contract_dhconv_cp(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Ar
     yr = mm(sr, Br.T, "...lmr,ro->...lmo") - mm(si, Bi.T, "...lmr,ro->...lmo")
     yi = mm(sr, Bi.T, "...lmr,ro->...lmo") + mm(si, Br.T, "...lmr,ro->...lmo")
     return jax.lax.complex(yr, yi)
+
+
+def cp_spatial_project(x: jax.Array, A: jax.Array, matmul_dtype=None) -> jax.Array:
+    """Rank-space pipeline stage 1: project channels to rank IN GRID SPACE.
+
+    Channel mixing commutes with the (channel-wise) SHT, so the CP input
+    projection ``SHT(x) @ A`` with complex ``A = Ar + i*Ai`` can be evaluated
+    as two REAL spatial GEMMs before the transform:
+
+        SHT(x) @ A = SHT(x @ Ar) + i * SHT(x @ Ai)
+
+    x: (..., h, w, ci) real; A: (ci, R, 2). Returns (..., h, w, 2R) real with
+    channels ``[x@Ar | x@Ai]`` — one SHT over 2R channels then recovers the
+    complex rank-space spectrum (see ``cp_spectral_scale_stacked``). With
+    R = ci/4 the downstream transform runs on HALF the channels (2R vs ci):
+    half the Legendre/DFT bytes and FLOPs, and the dense per-l dhconv GEMM
+    disappears entirely.
+    """
+    matmul_dtype = _effective_matmul_dtype(matmul_dtype)
+    Ar2 = jnp.concatenate([A[..., 0], A[..., 1]], axis=-1)  # (ci, 2R)
+    xd = x
+    if matmul_dtype is not None:
+        xd, Ar2 = x.astype(matmul_dtype), Ar2.astype(matmul_dtype)
+    return jnp.einsum("...hwc,cr->...hwr", xd, Ar2,
+                      preferred_element_type=jnp.float32)
+
+
+def cp_spectral_scale_stacked(zs: jax.Array, C: jax.Array) -> jax.Array:
+    """Rank-space pipeline stage 2: per-l complex scale on the stacked layout.
+
+    zs: (..., l, m, 2R, 2) — ``RealSHT(stacked=True)`` of the
+    ``cp_spatial_project`` output, i.e. channels ``[SHT(x@Ar) | SHT(x@Ai)]``
+    as (re, im) pairs. The complex rank spectrum is p = S_r + i*S_i; this
+    applies s = p * C[l] and returns the stacked channel pair ``[s | i*s]``
+    (..., l, m, 2R, 2) — exactly what the real-linear ISHT needs so that the
+    complex output projection B can move AFTER the inverse transform:
+
+        ISHT(s @ B^T)_o = sum_r Br[o,r]*ISHT(s_r) + Bi[o,r]*ISHT(i*s_r)
+
+    C: (l, R, 2). Pure elementwise — fuses into the surrounding GEMMs.
+    """
+    R = zs.shape[-2] // 2
+    Sr, Si = zs[..., :R, :], zs[..., R:, :]
+    p_re = Sr[..., 0] - Si[..., 1]
+    p_im = Sr[..., 1] + Si[..., 0]
+    Cr = C[..., 0][:, None, :]  # (l, 1, R) broadcasting over m
+    Ci = C[..., 1][:, None, :]
+    s_re = p_re * Cr - p_im * Ci
+    s_im = p_re * Ci + p_im * Cr
+    return jnp.concatenate(
+        [jnp.stack([s_re, s_im], axis=-1), jnp.stack([-s_im, s_re], axis=-1)],
+        axis=-2,
+    )
+
+
+def cp_spatial_expand(g: jax.Array, B: jax.Array, matmul_dtype=None) -> jax.Array:
+    """Rank-space pipeline stage 3: expand rank to output channels IN GRID SPACE.
+
+    g: (..., h, w, 2R) real — ISHT of the ``cp_spectral_scale_stacked`` output,
+    channels ``[G | H]`` with G_r = ISHT(s_r), H_r = ISHT(i*s_r).
+    B: (co, R, 2). out_o = sum_r Br[o,r] G_r + Bi[o,r] H_r — one real GEMM.
+    """
+    matmul_dtype = _effective_matmul_dtype(matmul_dtype)
+    W2 = jnp.concatenate([B[..., 0], B[..., 1]], axis=-1).T  # (2R, co)
+    gd = g
+    if matmul_dtype is not None:
+        gd, W2 = g.astype(matmul_dtype), W2.astype(matmul_dtype)
+    return jnp.einsum("...hwr,ro->...hwo", gd, W2,
+                      preferred_element_type=jnp.float32)
 
 
 def contract_dhconv_tucker(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Array:

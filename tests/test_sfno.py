@@ -183,6 +183,58 @@ def test_cp_factorized_spectral_weights():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_cp_rank_pipeline_matches_spectral_cp():
+    """Rank-space CP pipeline == spectral-space CP contraction.
+
+    The CP channel projections commute with the SHT (they act on disjoint
+    axes), so ISHT(contract_cp(SHT(x))) must equal the grid-space
+    project -> 2R-channel SHT -> per-l scale -> 2R-channel ISHT -> expand
+    pipeline exactly (up to fp reassociation)."""
+    from spherical_dyffusion_tpu.ops import InverseRealSHT, RealSHT
+    from spherical_dyffusion_tpu.ops.contractions import (
+        contract_dhconv_cp,
+        cp_spatial_expand,
+        cp_spatial_project,
+        cp_spectral_scale_stacked,
+    )
+
+    rng = np.random.default_rng(1)
+    H, W, ci, co, R = 16, 32, 6, 6, 3
+    sht = RealSHT.create(H, W, grid="legendre-gauss")
+    isht = InverseRealSHT.create(H, W, grid="legendre-gauss")
+    L = sht.lmax
+    f = {k: jnp.asarray(rng.standard_normal(s), jnp.float32)
+         for k, s in [("A", (ci, R, 2)), ("B", (co, R, 2)), ("C", (L, R, 2))]}
+    x = jnp.asarray(rng.standard_normal((2, H, W, ci)), jnp.float32)
+
+    want = isht(contract_dhconv_cp(sht(x), f))
+
+    z = cp_spatial_project(x, f["A"])
+    t = cp_spectral_scale_stacked(sht(z, stacked=True), f["C"])
+    got = cp_spatial_expand(isht(t), f["B"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_cp_rank_pipeline_model_forward_matches():
+    """SFNO forward with rank_pipeline on == off (same params). num_layers=3
+    so the middle block runs same-grid transforms and actually takes the
+    rank-space path (first/last blocks regrid and fall back by design)."""
+    import dataclasses
+
+    cfg = tiny_cfg(factorization="cp", rank=0.5, num_layers=3,
+                   rank_pipeline=True)
+    model = SFNO(cfg)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 16, 32, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y_rank = model.apply(params, x)
+    model_ref = SFNO(dataclasses.replace(cfg, rank_pipeline=False))
+    y_spec = model_ref.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_rank), np.asarray(y_spec),
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("fact", ["tucker", "tt"])
 def test_tucker_tt_factorized_filters(fact):
     cfg = tiny_cfg(factorization=fact, rank=0.5)
