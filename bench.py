@@ -224,7 +224,8 @@ def product_bench(stepper, window, total_steps, n_ensemble, embed, layers):
     }))
 
 
-def ace_bench(embed, layers, window, total_steps, dtype):
+def ace_bench(embed, layers, window, total_steps, dtype,
+              thresh=1.0, factorization="", rank=1.0, rank_pipeline=True):
     """BENCH_ACE=1: paper-scale ACE single-module stepper rollout — the
     reference's comparison baseline (hot loop
     src/ace_inference/core/stepper.py:529-560, python-stepped there; here the
@@ -253,6 +254,9 @@ def ace_bench(embed, layers, window, total_steps, dtype):
         img_shape=(H, W), in_chans=len(in_names), out_chans=len(out_names),
         embed_dim=embed, num_layers=layers, operator_type="dhconv",
         data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
+        hard_thresholding_fraction=thresh,
+        factorization=factorization or None, rank=rank,
+        rank_pipeline=rank_pipeline,
     ))
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, H, W, len(in_names)))
@@ -533,7 +537,7 @@ def main():
         ace_window = int(os.environ.get("BENCH_WINDOW", 12))
         return ace_bench(embed, layers, ace_window,
                          int(os.environ.get("BENCH_STEPS", 4 * ace_window)),
-                         dtype)
+                         dtype, thresh, factorization, rank, rank_pipeline)
 
     stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas,
                                              merged, params_dtype, preds_dtype,

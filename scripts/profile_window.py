@@ -91,6 +91,10 @@ def main():
         args.embed, args.layers, dtype,
         params_dtype=os.environ.get("BENCH_PARAM_DTYPE", "") or None,
         preds_dtype=os.environ.get("BENCH_PREDS_DTYPE", "") or None,
+        thresh=float(os.environ.get("BENCH_THRESH", "1.0")),
+        factorization=os.environ.get("BENCH_FACT", ""),
+        rank=float(os.environ.get("BENCH_RANK", "1.0")),
+        rank_pipeline=os.environ.get("BENCH_RANKPIPE", "1") == "1",
     )
     W = args.window
     src = SyntheticTimeSeries(in_names + forcing_names + ["ocean_fraction"],

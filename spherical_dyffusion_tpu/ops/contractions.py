@@ -33,7 +33,8 @@ def _effective_matmul_dtype(requested):
 __all__ = ["contract_dhconv", "contract_dhconv_stacked", "contract_diagonal",
            "contract_dhconv_cp", "contract_dhconv_tucker", "contract_dhconv_tt",
            "contract", "cp_spatial_project", "cp_spectral_scale_stacked",
-           "cp_spatial_expand"]
+           "cp_spatial_expand", "tucker_rank_kernel",
+           "tucker_spectral_mix_stacked"]
 
 
 def _as_complex(w: jax.Array) -> jax.Array:
@@ -233,6 +234,55 @@ def cp_spatial_expand(g: jax.Array, B: jax.Array, matmul_dtype=None) -> jax.Arra
         gd, W2 = g.astype(matmul_dtype), W2.astype(matmul_dtype)
     return jnp.einsum("...hwr,ro->...hwo", gd, W2,
                       preferred_element_type=jnp.float32)
+
+
+def tucker_rank_kernel(core: jax.Array, C: jax.Array) -> jax.Array:
+    """Per-l rank-space mixing kernel for the Tucker rank pipeline.
+
+    K[l, p, q] = sum_r core[p, q, r] * C[l, r]  (complex, stored as (..., 2)
+    real pairs). Tiny (l, R, R) tensor computed once per call from the
+    factors; the Tucker analog of CP's per-l scale.
+    """
+    cr, ci = core[..., 0], core[..., 1]
+    Cr, Ci = C[..., 0], C[..., 1]
+    Kr = jnp.einsum("pqr,lr->lpq", cr, Cr) - jnp.einsum("pqr,lr->lpq", ci, Ci)
+    Ki = jnp.einsum("pqr,lr->lpq", cr, Ci) + jnp.einsum("pqr,lr->lpq", ci, Cr)
+    return jnp.stack([Kr, Ki], axis=-1)
+
+
+def tucker_spectral_mix_stacked(zs: jax.Array, K: jax.Array,
+                                matmul_dtype=None) -> jax.Array:
+    """Tucker rank pipeline stage 2: per-l complex R->R mix, stacked layout.
+
+    zs: (..., l, m, 2R, 2) — ``RealSHT(stacked=True)`` of the grid-space
+    rank projection (channels ``[SHT(x@Ar) | SHT(x@Ai)]``, see
+    ``cp_spatial_project``). K: (l, R, R, 2) from ``tucker_rank_kernel``.
+    Applies q = p @ K[l] on the complex rank spectrum p and returns the
+    stacked pair ``[q | i*q]`` (..., l, m, 2R, 2) for the real-linear ISHT —
+    identical structure to ``cp_spectral_scale_stacked`` but with a per-l
+    batched rank-space GEMM (M=m, K=R, N=R — small, l-batched) instead of an
+    elementwise scale.
+    """
+    matmul_dtype = _effective_matmul_dtype(matmul_dtype)
+    R = zs.shape[-2] // 2
+    Sr, Si = zs[..., :R, :], zs[..., R:, :]
+    p_re = Sr[..., 0] - Si[..., 1]
+    p_im = Sr[..., 1] + Si[..., 0]
+    Kr, Ki = K[..., 0], K[..., 1]
+    if matmul_dtype is not None:
+        p_re, p_im = p_re.astype(matmul_dtype), p_im.astype(matmul_dtype)
+        Kr, Ki = Kr.astype(matmul_dtype), Ki.astype(matmul_dtype)
+
+    def mm(a, k):
+        return jnp.einsum("...lmp,lpq->...lmq", a, k,
+                          preferred_element_type=jnp.float32)
+
+    q_re = mm(p_re, Kr) - mm(p_im, Ki)
+    q_im = mm(p_re, Ki) + mm(p_im, Kr)
+    return jnp.concatenate(
+        [jnp.stack([q_re, q_im], axis=-1), jnp.stack([-q_im, q_re], axis=-1)],
+        axis=-2,
+    )
 
 
 def contract_dhconv_tucker(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Array:

@@ -235,6 +235,58 @@ def test_cp_rank_pipeline_model_forward_matches():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_tucker_rank_pipeline_matches_spectral_tucker():
+    """Tucker rank-space pipeline == spectral-space Tucker contraction: the
+    factor channel projections commute with the SHT, the per-l core mix
+    becomes a rank-space GEMM on the stacked layout."""
+    from spherical_dyffusion_tpu.ops import InverseRealSHT, RealSHT
+    from spherical_dyffusion_tpu.ops.contractions import (
+        contract_dhconv_tucker,
+        cp_spatial_expand,
+        cp_spatial_project,
+        tucker_rank_kernel,
+        tucker_spectral_mix_stacked,
+    )
+
+    rng = np.random.default_rng(3)
+    H, W, ci, co, R = 16, 32, 8, 8, 3
+    sht = RealSHT.create(H, W, grid="legendre-gauss")
+    isht = InverseRealSHT.create(H, W, grid="legendre-gauss")
+    L = sht.lmax
+    f = {k: jnp.asarray(rng.standard_normal(s), jnp.float32)
+         for k, s in [("A", (ci, R, 2)), ("B", (co, R, 2)), ("C", (L, R, 2)),
+                      ("core", (R, R, R, 2))]}
+    x = jnp.asarray(rng.standard_normal((2, H, W, ci)), jnp.float32)
+
+    want = isht(contract_dhconv_tucker(sht(x), f))
+
+    z = cp_spatial_project(x, f["A"])
+    K = tucker_rank_kernel(f["core"], f["C"])
+    t = tucker_spectral_mix_stacked(sht(z, stacked=True), K)
+    got = cp_spatial_expand(isht(t), f["B"])
+    # the R^3 core contraction amplifies magnitudes, so reassociation noise
+    # is larger than in the CP case
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=5e-5)
+
+
+def test_tucker_rank_pipeline_model_forward_matches():
+    """SFNO forward with Tucker rank_pipeline on == off (same params)."""
+    import dataclasses
+
+    cfg = tiny_cfg(factorization="tucker", rank=0.5, num_layers=3,
+                   rank_pipeline=True)
+    model = SFNO(cfg)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((1, 16, 32, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y_rank = model.apply(params, x)
+    model_ref = SFNO(dataclasses.replace(cfg, rank_pipeline=False))
+    y_spec = model_ref.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_rank), np.asarray(y_spec),
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("fact", ["tucker", "tt"])
 def test_tucker_tt_factorized_filters(fact):
     cfg = tiny_cfg(factorization=fact, rank=0.5)
