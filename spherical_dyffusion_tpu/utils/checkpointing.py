@@ -48,8 +48,15 @@ def find_checkpoint_in_dir(d: str, pattern: str = "*.ckpt") -> Optional[str]:
     return cands[-1] if cands else None
 
 
-def download_from_hf(spec: str, cache_dir: Optional[str] = None) -> str:
-    """``org/repo/filename`` -> local cached file via huggingface_hub."""
+def download_from_hf(spec: str, cache_dir: Optional[str] = None,
+                     endpoint: Optional[str] = None) -> str:
+    """``org/repo/filename`` -> local cached file via huggingface_hub.
+
+    ``endpoint`` (or the ``HF_ENDPOINT`` env var) overrides the hub URL —
+    used for mirrors, and by the offline loopback test
+    (tests/test_metrics.py::test_hf_checkpoint_download_loopback) that
+    exercises this leg against a local HTTP server.
+    """
     parts = spec.split("/")
     if len(parts) < 3:
         raise ValueError(f"hf spec must be org/repo/filename, got {spec!r}")
@@ -60,7 +67,9 @@ def download_from_hf(spec: str, cache_dir: Optional[str] = None) -> str:
         from huggingface_hub import hf_hub_download
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("huggingface_hub is not installed; cannot resolve hf: paths") from e
-    return hf_hub_download(repo_id=repo_id, filename=filename, cache_dir=cache_dir)
+    endpoint = endpoint or os.environ.get("HF_ENDPOINT") or None
+    return hf_hub_download(repo_id=repo_id, filename=filename,
+                           cache_dir=cache_dir, endpoint=endpoint)
 
 
 class S3Client:

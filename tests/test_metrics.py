@@ -135,3 +135,58 @@ def test_checkpoint_path_resolution(tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         resolve_checkpoint_path(str(tmp_path / "missing.ckpt"))
+
+
+def test_hf_checkpoint_download_loopback(tmp_path):
+    """Exercise the ``hf:`` distribution leg end-to-end against a LOCAL
+    loopback HTTP server implementing the hub resolve protocol (HEAD metadata
+    + GET payload) — the reference's HF download path
+    (src/utilities/checkpointing.py:99-154) without network egress."""
+    import http.server
+    import threading
+
+    payload = b"fake-lightning-checkpoint-bytes"
+    commit = "0" * 40
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _headers(self):
+            self.send_response(200)
+            self.send_header("X-Repo-Commit", commit)
+            self.send_header("ETag", '"deadbeef"')
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+
+        def do_HEAD(self):
+            assert self.path.endswith("/org/repo/resolve/main/model.ckpt"), self.path
+            self._headers()
+
+        def do_GET(self):
+            self._headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from spherical_dyffusion_tpu.utils.checkpointing import resolve_checkpoint_path
+
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        import os as _os
+        old = _os.environ.get("HF_ENDPOINT")
+        _os.environ["HF_ENDPOINT"] = endpoint
+        try:
+            local = resolve_checkpoint_path("hf:org/repo/model.ckpt",
+                                            cache_dir=str(tmp_path))
+        finally:
+            if old is None:
+                _os.environ.pop("HF_ENDPOINT", None)
+            else:
+                _os.environ["HF_ENDPOINT"] = old
+        with open(local, "rb") as f:
+            assert f.read() == payload
+        assert commit in local
+    finally:
+        srv.shutdown()
