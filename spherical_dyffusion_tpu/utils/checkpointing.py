@@ -72,28 +72,6 @@ def download_from_hf(spec: str, cache_dir: Optional[str] = None,
                            cache_dir=cache_dir, endpoint=endpoint)
 
 
-class S3Client:
-    """Minimal S3 helper (reference s3utils.py boto3 list/upload/download),
-    import-gated on boto3."""
-
-    def __init__(self, bucket: str):
-        try:
-            import boto3
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("boto3 is not installed; S3 checkpointing unavailable") from e
-        self.bucket = bucket
-        self._s3 = boto3.client("s3")
-
-    def upload(self, local_path: str, key: str):
-        self._s3.upload_file(local_path, self.bucket, key)
-
-    def download(self, key: str, local_path: str):
-        os.makedirs(os.path.dirname(local_path) or ".", exist_ok=True)
-        self._s3.download_file(self.bucket, key, local_path)
-
-    def list(self, prefix: str = ""):
-        resp = self._s3.list_objects_v2(Bucket=self.bucket, Prefix=prefix)
-        return [o["Key"] for o in resp.get("Contents", [])]
-
-    def delete(self, key: str):
-        self._s3.delete_object(Bucket=self.bucket, Key=key)
+# Native dependency-free S3 client (SigV4 over urllib) — replaces the
+# reference's boto3 plumbing (s3utils.py); see utils/s3.py and tests/test_s3.py.
+from .s3 import S3Client  # noqa: E402,F401  (re-export, historical home)
