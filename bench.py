@@ -16,6 +16,7 @@ BENCH_LAYERS, BENCH_ENSEMBLE.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -35,23 +36,45 @@ def _probe_device(timeout_s: int = 120) -> bool:
     indefinitely (observed: connection refused on 127.0.0.1:8093 after the
     remote service dies), which would turn the whole bench into a silent
     timeout. Probe in a subprocess with a hard deadline and emit a parseable
-    zero-result instead. Skipped for CPU runs."""
+    zero-result instead. Skipped for CPU runs.
+
+    The tunnel flaps (observed outages of minutes-to-hours): ``BENCH_WAIT``
+    (seconds, default 600) keeps re-probing until the deadline so a bench
+    launched during a brief outage still runs instead of recording zero.
+    Set BENCH_WAIT=0 for the old single-probe fail-fast behavior."""
     if os.environ.get("BENCH_PLATFORM") == "cpu":
         return True
     import subprocess
 
-    try:
-        r = subprocess.run(
-            ["python", "-c",
-             "import jax, jax.numpy as jnp; "
-             "jax.jit(lambda a: (a*2).sum())(jnp.ones((8,8)))"
-             ".block_until_ready()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        if r.returncode == 0:
-            return True
-    except subprocess.TimeoutExpired:
-        pass
+    wait_budget = float(os.environ.get("BENCH_WAIT", "600"))
+    start = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            # the baked platform list is "axon,cpu": when the tunnel fails
+            # FAST (e.g. "No jellyfish device found") jax silently falls back
+            # to CPU and a bare jit probe exits 0 — require a non-CPU backend
+            # so that outage mode is detected too, not just the hang mode
+            r = subprocess.run(
+                ["python", "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "assert jax.default_backend() != 'cpu', jax.default_backend(); "
+                 "jax.jit(lambda a: (a*2).sum())(jnp.ones((8,8)))"
+                 ".block_until_ready()"],
+                timeout=timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        elapsed = time.time() - start
+        if elapsed + 60 > wait_budget:
+            break
+        print(f"[bench] tunnel probe {attempt} failed ({elapsed:.0f}s elapsed); "
+              f"retrying until BENCH_WAIT={wait_budget:.0f}s", file=sys.stderr,
+              flush=True)
+        time.sleep(60)
     print(json.dumps({
         "metric": "simulated_years_per_day", "value": 0.0,
         "unit": "TPU tunnel unreachable (device probe hung/failed; see "
@@ -484,6 +507,12 @@ def mesh_bench(embed, layers, window, total_steps, n_ensemble):
 def main():
     if not _probe_device():
         return
+    # belt-and-braces: never report a CPU-fallback run as a TPU number
+    if os.environ.get("BENCH_PLATFORM") != "cpu":
+        assert jax.default_backend() != "cpu", (
+            "axon backend fell back to CPU after a successful probe — refusing "
+            "to record a CPU run as the TPU benchmark"
+        )
     embed = int(os.environ.get("BENCH_EMBED", 256))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
     window = int(os.environ.get("BENCH_WINDOW", 96))
