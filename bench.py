@@ -49,6 +49,7 @@ def _probe_device(timeout_s: int = 120) -> bool:
     wait_budget = float(os.environ.get("BENCH_WAIT", "600"))
     start = time.time()
     attempt = 0
+    last_err = ""
     while True:
         attempt += 1
         try:
@@ -66,20 +67,24 @@ def _probe_device(timeout_s: int = 120) -> bool:
             )
             if r.returncode == 0:
                 return True
+            # surface the failure: a persistent import/venv error is NOT a
+            # tunnel flap and should be diagnosable from the log/zero-result
+            tail = r.stderr.decode(errors="replace").strip().splitlines()
+            last_err = tail[-1][-300:] if tail else f"exit {r.returncode}"
         except subprocess.TimeoutExpired:
-            pass
+            last_err = f"probe timed out after {timeout_s}s (tunnel hang mode)"
         elapsed = time.time() - start
         if elapsed + 60 > wait_budget:
             break
-        print(f"[bench] tunnel probe {attempt} failed ({elapsed:.0f}s elapsed); "
-              f"retrying until BENCH_WAIT={wait_budget:.0f}s", file=sys.stderr,
-              flush=True)
+        print(f"[bench] tunnel probe {attempt} failed ({elapsed:.0f}s elapsed) "
+              f"[{last_err}]; retrying until BENCH_WAIT={wait_budget:.0f}s",
+              file=sys.stderr, flush=True)
         time.sleep(60)
     print(json.dumps({
         "metric": "simulated_years_per_day", "value": 0.0,
         "unit": "TPU tunnel unreachable (device probe hung/failed; see "
                 ".claude/skills/verify/SKILL.md 'Tunnel health') — no "
-                "benchmark was run",
+                f"benchmark was run; last probe error: {last_err}",
         "vs_baseline": 0.0,
     }))
     return False
@@ -507,9 +512,30 @@ def mesh_bench(embed, layers, window, total_steps, n_ensemble):
 def main():
     if not _probe_device():
         return
-    # belt-and-braces: never report a CPU-fallback run as a TPU number
+    # belt-and-braces: never report a CPU-fallback run as a TPU number.
+    # This is the PARENT's first backend init — if the tunnel enters its hang
+    # mode between the subprocess probe succeeding and now, this call blocks
+    # in C with no deadline, so arm a watchdog thread that emits the same
+    # parseable zero-result and hard-exits instead of hanging to the driver
+    # timeout (advisor round-3 finding).
     if os.environ.get("BENCH_PLATFORM") != "cpu":
-        assert jax.default_backend() != "cpu", (
+        import threading
+
+        def _watchdog():
+            print(json.dumps({
+                "metric": "simulated_years_per_day", "value": 0.0,
+                "unit": "TPU tunnel hung during parent backend init (after a "
+                        "successful subprocess probe) — no benchmark was run",
+                "vs_baseline": 0.0,
+            }), flush=True)
+            os._exit(2)
+
+        timer = threading.Timer(180.0, _watchdog)
+        timer.daemon = True
+        timer.start()
+        backend = jax.default_backend()
+        timer.cancel()
+        assert backend != "cpu", (
             "axon backend fell back to CPU after a successful probe — refusing "
             "to record a CPU run as the TPU benchmark"
         )
