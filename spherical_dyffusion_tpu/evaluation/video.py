@@ -69,16 +69,18 @@ class VideoAggregator:
         self.error = _RunningMoments()
         self.enable_variance = enable_variance
 
-    def record_batch(self, preds: np.ndarray, targets: np.ndarray, start_step: int = 0):
-        """preds: (E, T, H, W, C); targets: (T, H, W, C)."""
+    def record_batch(self, preds: np.ndarray, targets: Optional[np.ndarray] = None,
+                     start_step: int = 0):
+        """preds: (E, T, H, W, C); targets: (T, H, W, C) or None (gen-only)."""
         preds = np.asarray(preds)
-        targets = np.asarray(targets)
         if preds.ndim == 4:
             preds = preds[None]
         self.gen.update(start_step, preds)
-        self.target.update(start_step, targets[None])
-        err = preds.mean(axis=0, keepdims=True) - targets[None]
-        self.error.update(start_step, err)
+        if targets is not None:
+            targets = np.asarray(targets)
+            self.target.update(start_step, targets[None])
+            err = preds.mean(axis=0, keepdims=True) - targets[None]
+            self.error.update(start_step, err)
 
     def get_videos(self) -> Dict[str, np.ndarray]:
         out = {

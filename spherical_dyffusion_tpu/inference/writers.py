@@ -19,7 +19,14 @@ try:
 except ImportError:  # pragma: no cover
     h5py = None
 
-__all__ = ["PredictionWriter", "HistogramWriter", "TimeCoarsen", "DataWriterConfig", "DataWriter"]
+__all__ = [
+    "PredictionWriter",
+    "HistogramWriter",
+    "VideoWriter",
+    "TimeCoarsen",
+    "DataWriterConfig",
+    "DataWriter",
+]
 
 
 class PredictionWriter:
@@ -27,11 +34,18 @@ class PredictionWriter:
     HDF5 file with an unlimited time axis (reference PredictionDataWriter)."""
 
     def __init__(self, path: str, names: Sequence[str], lat: np.ndarray, lon: np.ndarray,
-                 n_ensemble: int = 1, save_targets: bool = False):
+                 n_ensemble: int = 1, save_targets: bool = False,
+                 save_names: Optional[Sequence[str]] = None):
         if h5py is None:
             raise RuntimeError("h5py required for writing predictions")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.names = list(names)
+        # save_raw_prediction_names: subselect persisted variables (reference
+        # data_writer/main.py:29-31) — channel indexing still follows `names`
+        self.save_set = set(save_names) if save_names is not None else None
+        unknown = (self.save_set or set()) - set(self.names)
+        if unknown:
+            raise ValueError(f"save_raw_prediction_names not in outputs: {sorted(unknown)}")
         self.save_targets = save_targets
         self.f = h5py.File(path, "w")
         self.f.create_dataset("lat", data=np.asarray(lat))
@@ -41,6 +55,8 @@ class PredictionWriter:
         from ..utils.naming import variable_metadata
 
         for n in self.names:
+            if self.save_set is not None and n not in self.save_set:
+                continue
             self._dsets[n] = self.f.create_dataset(
                 n, shape=(n_ensemble, 0, H, W), maxshape=(n_ensemble, None, H, W),
                 dtype="f4", chunks=(1, 1, H, W), compression=None,
@@ -63,6 +79,8 @@ class PredictionWriter:
             preds = preds.astype(np.float32)  # e.g. bf16-emitted preds
         T = preds.shape[1]
         for i, n in enumerate(self.names):
+            if n not in self._dsets:
+                continue
             d = self._dsets[n]
             d.resize(self._t + T, axis=1)
             d[:, self._t : self._t + T] = preds[..., i]
@@ -157,30 +175,86 @@ class HistogramWriter:
         pass
 
 
+class VideoWriter:
+    """Persists the VideoAggregator's running (time, lat, lon) statistics as
+    a netCDF file (reference VideoDataWriter, data_writer/video.py:12-73:
+    composes a VideoAggregator over the rollout and flushes its dataset to
+    ``reduced_autoregressive_predictions.nc``). Statistics accumulate as
+    running moments, so full videos never sit in memory twice."""
+
+    def __init__(self, path: str, names: Sequence[str], lat: np.ndarray, lon: np.ndarray):
+        if h5py is None:
+            raise RuntimeError("h5py required for writing videos")
+        from ..evaluation.video import VideoAggregator
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.path = path
+        self.names = list(names)
+        self.lat = np.asarray(lat)
+        self.lon = np.asarray(lon)
+        self.agg = VideoAggregator(self.names)
+        self._t = 0
+
+    def append(self, preds: np.ndarray, targets: Optional[np.ndarray] = None):
+        """preds: (E, T, H, W, C); targets: (T, H, W, C) (optional — without
+        them only the generated-ensemble stats are recorded)."""
+        preds = np.asarray(preds)
+        self.agg.record_batch(preds, targets, start_step=self._t)
+        self._t += preds.shape[1]
+
+    def close(self):
+        from ..utils.naming import variable_metadata
+
+        with h5py.File(self.path, "w") as f:
+            f.create_dataset("lat", data=self.lat)
+            f.create_dataset("lon", data=self.lon)
+            for key, video in self.agg.get_videos().items():
+                for i, n in enumerate(self.names):
+                    d = f.create_dataset(f"{key}-{n}", data=video[..., i])
+                    ln, u = variable_metadata(n)
+                    d.attrs["long_name"] = f"{key} of {ln}"
+                    if u:
+                        d.attrs["units"] = u
+                    d.attrs["dims"] = "time,lat,lon"
+
+
 class TimeCoarsen:
     """Wraps a writer, averaging every ``factor`` consecutive steps
-    (reference data_writer/time_coarsen.py)."""
+    (reference data_writer/time_coarsen.py). Targets (time-leading rank-4
+    arrays) are coarsened on the same boundaries as predictions."""
 
     def __init__(self, writer, factor: int):
         self.writer = writer
         self.factor = factor
         self._buffer = None
+        self._tbuffer = None
 
     def append(self, preds: np.ndarray, targets: Optional[np.ndarray] = None):
         preds = np.asarray(preds)
         if self._buffer is not None:
             preds = np.concatenate([self._buffer, preds], axis=1)
             self._buffer = None
+        if targets is not None:
+            targets = np.asarray(targets)
+            if self._tbuffer is not None:
+                targets = np.concatenate([self._tbuffer, targets], axis=0)
+                self._tbuffer = None
         T = preds.shape[1]
         n_full = T // self.factor
         rem = T - n_full * self.factor
         if rem:
             self._buffer = preds[:, T - rem :]
             preds = preds[:, : T - rem]
+            if targets is not None:
+                self._tbuffer = targets[T - rem :]
+                targets = targets[: T - rem]
         if n_full:
             E = preds.shape[0]
             coarse = preds.reshape((E, n_full, self.factor) + preds.shape[2:]).mean(axis=2)
-            self.writer.append(coarse)
+            ct = None
+            if targets is not None:
+                ct = targets.reshape((n_full, self.factor) + targets.shape[1:]).mean(axis=1)
+            self.writer.append(coarse, ct)
 
     def close(self):
         self.writer.close()
@@ -188,27 +262,45 @@ class TimeCoarsen:
 
 @dataclasses.dataclass
 class DataWriterConfig:
-    """Mirrors reference DataWriterConfig (data_writer/main.py)."""
+    """Mirrors reference DataWriterConfig (data_writer/main.py:19-62:
+    save_prediction_files / log_extended_video_netcdfs /
+    save_raw_prediction_names / time_coarsen)."""
 
     save_prediction_files: bool = False
     save_histogram_files: bool = False
+    log_extended_video_netcdfs: bool = False
+    save_raw_prediction_names: Optional[Sequence[str]] = None
     time_coarsen_factor: Optional[int] = None
+
+    def __post_init__(self):
+        if self.save_raw_prediction_names is not None and not self.save_prediction_files:
+            raise ValueError(
+                "save_raw_prediction_names provided but save_prediction_files is False"
+            )
 
 
 class DataWriter:
-    """Composes the configured writers (reference data_writer/main.py:65)."""
+    """Composes the configured writers (reference data_writer/main.py:65-130:
+    prediction + video + histogram, each optionally time-coarsened)."""
 
     def __init__(self, cfg: DataWriterConfig, out_dir: str, names, lat, lon,
                  n_ensemble: int = 1):
         self.writers = []
+
+        def _coarsened(w):
+            return TimeCoarsen(w, cfg.time_coarsen_factor) if cfg.time_coarsen_factor else w
+
         if cfg.save_prediction_files:
-            w = PredictionWriter(
+            self.writers.append(_coarsened(PredictionWriter(
                 os.path.join(out_dir, "autoregressive_predictions.nc"),
                 names, lat, lon, n_ensemble,
-            )
-            if cfg.time_coarsen_factor:
-                w = TimeCoarsen(w, cfg.time_coarsen_factor)
-            self.writers.append(w)
+                save_names=cfg.save_raw_prediction_names,
+            )))
+        if cfg.log_extended_video_netcdfs:
+            self.writers.append(_coarsened(VideoWriter(
+                os.path.join(out_dir, "reduced_autoregressive_predictions.nc"),
+                names, lat, lon,
+            )))
         if cfg.save_histogram_files:
             self.writers.append(HistogramWriter(names))
 

@@ -134,6 +134,8 @@ def main_from_config(cfg: dict) -> dict:
         DataWriterConfig(
             save_prediction_files=bool(w_cfg.get("save_prediction_files", False)),
             save_histogram_files=bool(w_cfg.get("save_histogram_files", False)),
+            log_extended_video_netcdfs=bool(w_cfg.get("log_extended_video_netcdfs", False)),
+            save_raw_prediction_names=w_cfg.get("save_raw_prediction_names"),
             time_coarsen_factor=w_cfg.get("time_coarsen_factor"),
         ),
         out_dir, list(exp.out_packer.names), hc.lat, hc.lon, icfg.n_ensemble,
@@ -436,6 +438,8 @@ def _run_ace_rollout(cfg: dict, stepper, source, n_repeats: int) -> dict:
         DataWriterConfig(
             save_prediction_files=bool(w_cfg.get("save_prediction_files", False)),
             save_histogram_files=bool(w_cfg.get("save_histogram_files", False)),
+            log_extended_video_netcdfs=bool(w_cfg.get("log_extended_video_netcdfs", False)),
+            save_raw_prediction_names=w_cfg.get("save_raw_prediction_names"),
             time_coarsen_factor=w_cfg.get("time_coarsen_factor"),
         ),
         out_dir, out_names, hc.lat, hc.lon, n_ensemble=1,

@@ -588,3 +588,86 @@ def test_upload_cache_overflow_is_reported():
         aggregator=agg, verbose=False,
     )
     assert summary2["upload_cache_skips"] == 0
+
+
+def test_video_writer_persists_running_stats_as_netcdf(tmp_path):
+    """VideoWriter composes the VideoAggregator and flushes (time, lat, lon)
+    running statistics to reduced_autoregressive_predictions.nc (reference
+    VideoDataWriter, data_writer/video.py:12-73)."""
+    import h5py
+
+    from spherical_dyffusion_tpu.inference.writers import DataWriter, DataWriterConfig
+
+    names = ["a", "b"]
+    lat, lon = np.linspace(-80, 80, 8), np.linspace(0, 350, 16)
+    cfg = DataWriterConfig(
+        save_prediction_files=True,
+        save_raw_prediction_names=["b"],
+        log_extended_video_netcdfs=True,
+    )
+    writer = DataWriter(cfg, str(tmp_path), names, lat, lon, n_ensemble=2)
+    rng = np.random.default_rng(0)
+    # two sequential windows, 2 members each
+    p1, p2 = rng.standard_normal((2, 2, 5, 8, 16, 2)).astype(np.float32)
+    t1, t2 = rng.standard_normal((2, 5, 8, 16, 2)).astype(np.float32)
+    writer.append(p1, t1)
+    writer.append(p2, t2)
+    writer.close()
+
+    preds = np.concatenate([p1, p2], axis=1)
+    targets = np.concatenate([t1, t2], axis=0)
+    with h5py.File(tmp_path / "reduced_autoregressive_predictions.nc") as f:
+        np.testing.assert_allclose(
+            f["gen_mean-a"][()], preds.mean(axis=0)[..., 0], rtol=1e-6)
+        np.testing.assert_allclose(
+            f["target_mean-b"][()], targets[..., 1], rtol=1e-6)
+        np.testing.assert_allclose(
+            f["error_mean-a"][()],
+            preds.mean(axis=0)[..., 0] - targets[..., 0], rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            f["gen_variance-b"][()], preds[..., 1].var(axis=0, ddof=1),
+            rtol=2e-5, atol=1e-6)
+        assert f["gen_mean-a"].attrs["dims"] == "time,lat,lon"
+    # save_raw_prediction_names subselects the prediction file
+    with h5py.File(tmp_path / "autoregressive_predictions.nc") as f:
+        assert "b" in f and "a" not in f
+        assert f["b"].shape == (2, 10, 8, 16)
+
+
+def test_time_coarsen_coarsens_targets_on_same_boundaries(tmp_path):
+    """TimeCoarsen averages targets alongside predictions, buffering the
+    remainder across windows (reference data_writer/time_coarsen.py)."""
+    from spherical_dyffusion_tpu.inference.writers import TimeCoarsen
+
+    class Capture:
+        def __init__(self):
+            self.preds, self.targets = [], []
+
+        def append(self, p, t=None):
+            self.preds.append(p)
+            self.targets.append(t)
+
+        def close(self):
+            pass
+
+    cap = Capture()
+    tc = TimeCoarsen(cap, factor=3)
+    rng = np.random.default_rng(1)
+    preds = rng.standard_normal((1, 7, 4, 4, 1))
+    targets = rng.standard_normal((7, 4, 4, 1))
+    tc.append(preds[:, :4], targets[:4])   # 4 steps: one full group + 1 buffered
+    tc.append(preds[:, 4:], targets[4:])   # +3 -> one more full group, 1 left
+    got_p = np.concatenate(cap.preds, axis=1)
+    got_t = np.concatenate(cap.targets, axis=0)
+    np.testing.assert_allclose(got_p[:, 0], preds[:, :3].mean(axis=1))
+    np.testing.assert_allclose(got_p[:, 1], preds[:, 3:6].mean(axis=1))
+    np.testing.assert_allclose(got_t[0], targets[:3].mean(axis=0))
+    np.testing.assert_allclose(got_t[1], targets[3:6].mean(axis=0))
+
+
+def test_save_raw_prediction_names_requires_prediction_files():
+    from spherical_dyffusion_tpu.inference.writers import DataWriterConfig
+
+    with pytest.raises(ValueError, match="save_raw_prediction_names"):
+        DataWriterConfig(save_prediction_files=False,
+                         save_raw_prediction_names=["a"])
