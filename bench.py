@@ -118,7 +118,8 @@ def mkkey(i: int):
 
 def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
           merged_dhconv=False, params_dtype=None, preds_dtype=None,
-          thresh=1.0, factorization="", rank=1.0, rank_pipeline=True):
+          thresh=1.0, factorization="", rank=1.0, rank_pipeline=True,
+          spectral_io=""):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -142,6 +143,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         sht_fold_symmetry=fold, use_pallas=use_pallas,
         merged_dhconv=merged_dhconv, hard_thresholding_fraction=thresh,
         factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
+        spectral_io_dtype=spectral_io,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -153,6 +155,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         use_pallas=use_pallas, merged_dhconv=merged_dhconv,
         hard_thresholding_fraction=thresh,
         factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
+        spectral_io_dtype=spectral_io,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -253,7 +256,8 @@ def product_bench(stepper, window, total_steps, n_ensemble, embed, layers):
 
 
 def ace_bench(embed, layers, window, total_steps, dtype,
-              thresh=1.0, factorization="", rank=1.0, rank_pipeline=True):
+              thresh=1.0, factorization="", rank=1.0, rank_pipeline=True,
+              spectral_io=""):
     """BENCH_ACE=1: paper-scale ACE single-module stepper rollout — the
     reference's comparison baseline (hot loop
     src/ace_inference/core/stepper.py:529-560, python-stepped there; here the
@@ -284,7 +288,7 @@ def ace_bench(embed, layers, window, total_steps, dtype,
         data_grid="equiangular", compute_dtype=dtype, sht_matmul_dtype=dtype,
         hard_thresholding_fraction=thresh,
         factorization=factorization or None, rank=rank,
-        rank_pipeline=rank_pipeline,
+        rank_pipeline=rank_pipeline, spectral_io_dtype=spectral_io,
     ))
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, H, W, len(in_names)))
@@ -581,6 +585,12 @@ def main():
     # BENCH_RANKPIPE=0 reverts CP to the spectral-space contraction (the
     # rank-space grid-projected pipeline is the default; exactly equivalent)
     rank_pipeline = os.environ.get("BENCH_RANKPIPE", "1") == "1"
+    # BENCH_SPECTRAL_IO=bfloat16: emit every spectral-pipeline intermediate
+    # (SHT/dhconv/ISHT stages, stacked real layout) in bf16 instead of the
+    # complex64 f32 pairs — numerically identical under bf16 matmul inputs
+    # (each GEMM rounds its inputs to bf16 anyway), halves the dominant
+    # intermediate HBM traffic (results/roofline). Empty = f32 materialization.
+    spectral_io = os.environ.get("BENCH_SPECTRAL_IO", "") or ""
 
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         return train_bench(embed, layers, window)
@@ -592,12 +602,13 @@ def main():
         ace_window = int(os.environ.get("BENCH_WINDOW", 12))
         return ace_bench(embed, layers, ace_window,
                          int(os.environ.get("BENCH_STEPS", 4 * ace_window)),
-                         dtype, thresh, factorization, rank, rank_pipeline)
+                         dtype, thresh, factorization, rank, rank_pipeline,
+                         os.environ.get("BENCH_SPECTRAL_IO", "") or "")
 
     stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas,
                                              merged, params_dtype, preds_dtype,
                                              thresh, factorization, rank,
-                                             rank_pipeline)
+                                             rank_pipeline, spectral_io)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 

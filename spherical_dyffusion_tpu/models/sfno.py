@@ -32,6 +32,7 @@ from ..ops import InverseRealSHT, RealSHT, RealFFT2, InverseRealFFT2, contract
 from ..ops.contractions import (
     contract_dhconv_cp,
     contract_dhconv_stacked,
+    contract_dhconv_stacked4,
     contract_dhconv_tt,
     contract_dhconv_tucker,
     cp_spatial_expand,
@@ -110,6 +111,13 @@ class SFNOConfig:
     # SHT/contraction matmul input dtype: float32 is reference-faithful;
     # bfloat16 gives ~8x MXU throughput with fp32 accumulation
     sht_matmul_dtype: str = "float32"
+    # spectral-pipeline IO dtype: "" materializes every spectral intermediate
+    # at float32 (complex64 pairs); "bfloat16" routes the dense dhconv through
+    # the stacked real layout and emits every SHT/dhconv/ISHT stage in bf16 —
+    # numerically identical on the main path under sht_matmul_dtype=bfloat16
+    # (each GEMM already rounds its inputs to bf16) while halving the HBM
+    # bytes of the dominant (l, m, c, 2) intermediates (results/roofline)
+    spectral_io_dtype: str = ""
     # longitude stage of the SHT: "matmul" (explicit DFT on the MXU, ~2x
     # faster than XLA's TPU FFT lowering at climate grids) or "fft" (jnp.fft
     # — preferable on CPU where the DFT matmul is the FLOP hot spot)
@@ -209,6 +217,8 @@ class SpectralConvS2(nn.Module):
     # 5.4-5.5s): XLA overlaps the four smaller GEMMs better than it tiles the
     # one big one. Kept opt-in for other shapes/hardware.
     merged_dhconv: bool = False
+    # spectral-pipeline IO dtype (see SFNOConfig.spectral_io_dtype)
+    io_dtype: str = ""
     # rank-space spectral pipeline for CP/Tucker weights: the factor channel
     # projections commute with the SHT, so the whole SHT -> per-l rank op ->
     # ISHT runs at 2R channels instead of ci/co (half the transform
@@ -292,42 +302,52 @@ class SpectralConvS2(nn.Module):
             and 2 * R <= min(self.in_channels, self.out_channels)
         ):
             md = self.matmul_dtype or None
-            z = cp_spatial_project(x.astype(jnp.float32), weight["A"], md)
-            zs = self.forward_transform(z, fwd_m, fwd_d, stacked=True)
+            io = jnp.dtype(self.io_dtype) if self.io_dtype else None
+            z = cp_spatial_project(x.astype(jnp.float32), weight["A"], md,
+                                   out_dtype=io)
+            zs = self.forward_transform(z, fwd_m, fwd_d, stacked=True,
+                                        out_dtype=io)
             if self.factorization == "cp":
                 t = cp_spectral_scale_stacked(zs, weight["C"])
             else:
                 K = tucker_rank_kernel(weight["core"], weight["C"])
-                t = tucker_spectral_mix_stacked(zs, K, md)
-            g = self.inverse_transform(t, inv_m, inv_d)
-            out = cp_spatial_expand(g, weight["B"], md)
+                t = tucker_spectral_mix_stacked(zs, K, md, out_dtype=io)
+            g = self.inverse_transform(t, inv_m, inv_d, out_dtype=io)
+            out = cp_spatial_expand(g, weight["B"], md, out_dtype=io)
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
                 out = out + bias
             return out.astype(dtype), residual
 
         # fused stacked pipeline: for the dense dhconv the SHT emits the
-        # (..., l, m, c, 2) real layout, the contraction is ONE merged batched
-        # GEMM (weights/activations cross HBM once, 2x bigger tiles), and the
-        # ISHT consumes the stacked result — no complex values anywhere
-        use_stacked = (
-            self.merged_dhconv
-            and not self.factorization
+        # (..., l, m, c, 2) real layout, the contraction stays on real pairs
+        # (merged single GEMM, or four GEMMs under spectral_io_dtype — the
+        # four-GEMM schedule measured faster at paper scale), and the ISHT
+        # consumes the stacked result — no complex values anywhere
+        stackable = (
+            not self.factorization
             and self.operator_type == "dhconv"
             and not self.separable
             and not self.use_pallas
             and isinstance(self.forward_transform, RealSHT)
             and isinstance(self.inverse_transform, InverseRealSHT)
         )
+        use_stacked = stackable and (self.merged_dhconv or bool(self.io_dtype))
+        io = jnp.dtype(self.io_dtype) if (self.io_dtype and use_stacked) else None
         xs = self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d,
-                                    stacked=True) if use_stacked else \
-            self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d)
+                                    stacked=True, out_dtype=io) if use_stacked \
+            else self.forward_transform(x.astype(jnp.float32), fwd_m, fwd_d)
         if scale_residual:
             residual = self.inverse_transform(xs, inv_m, inv_d).astype(dtype)
 
-        if use_stacked:
+        if use_stacked and self.merged_dhconv:
             xs = contract_dhconv_stacked(xs, weight,
-                                         matmul_dtype=self.matmul_dtype or None)
+                                         matmul_dtype=self.matmul_dtype or None,
+                                         out_dtype=io)
+        elif use_stacked:
+            xs = contract_dhconv_stacked4(xs, weight,
+                                          matmul_dtype=self.matmul_dtype or None,
+                                          out_dtype=io)
         elif self.factorization == "cp":
             xs = contract_dhconv_cp(xs, weight, matmul_dtype=self.matmul_dtype or None)
         elif self.factorization == "tucker":
@@ -338,7 +358,7 @@ class SpectralConvS2(nn.Module):
             xs = contract(xs, weight, self.operator_type, self.separable,
                           matmul_dtype=self.matmul_dtype or None,
                           use_pallas=self.use_pallas)
-        out = self.inverse_transform(xs, inv_m, inv_d)
+        out = self.inverse_transform(xs, inv_m, inv_d, out_dtype=io)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = out + bias
@@ -466,6 +486,7 @@ class FNOBlock(nn.Module):
                 fwd_key=self.fwd_key,
                 inv_key=self.inv_key,
                 matmul_dtype="" if cfg.sht_matmul_dtype == "float32" else cfg.sht_matmul_dtype,
+                io_dtype=cfg.spectral_io_dtype,
                 factorization=cfg.factorization or "",
                 rank=cfg.rank,
                 use_pallas=cfg.use_pallas,

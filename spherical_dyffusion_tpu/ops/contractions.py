@@ -30,11 +30,20 @@ def _effective_matmul_dtype(requested):
         return None
     return requested
 
-__all__ = ["contract_dhconv", "contract_dhconv_stacked", "contract_diagonal",
+__all__ = ["contract_dhconv", "contract_dhconv_stacked",
+           "contract_dhconv_stacked4", "contract_diagonal",
            "contract_dhconv_cp", "contract_dhconv_tucker", "contract_dhconv_tt",
            "contract", "cp_spatial_project", "cp_spectral_scale_stacked",
            "cp_spatial_expand", "tucker_rank_kernel",
            "tucker_spectral_mix_stacked"]
+
+
+def _emit(y, out_dtype):
+    """Round a spectral-stage output to the spectral-IO dtype (see
+    ops/sht.py:_emit — the bytes lever for the materialized intermediates)."""
+    if out_dtype is None:
+        return y
+    return y.astype(out_dtype)
 
 
 def _as_complex(w: jax.Array) -> jax.Array:
@@ -72,8 +81,35 @@ def contract_dhconv(x: jax.Array, w: jax.Array, separable: bool = False,
     return jax.lax.complex(yr, yi)
 
 
+def contract_dhconv_stacked4(x: jax.Array, w: jax.Array, matmul_dtype=None,
+                             out_dtype=None) -> jax.Array:
+    """Four-GEMM Driscoll-Healy conv on the stacked real layout.
+
+    Same math as ``contract_dhconv`` but consuming/producing the stacked
+    ``(..., l, m, c, 2)`` layout of ``RealSHT(stacked=True)`` — no complex64
+    (= f32 pair) materialization anywhere, so with ``out_dtype=bfloat16`` the
+    whole spectral pipeline's intermediates cross HBM at half width. Keeps
+    the four-smaller-GEMMs schedule that measured faster than the merged
+    single GEMM (``contract_dhconv_stacked``) at paper scale.
+    """
+    matmul_dtype = _effective_matmul_dtype(matmul_dtype)
+    xr, xi = x[..., 0], x[..., 1]
+    wr, wi = w[..., 0], w[..., 1]
+    if matmul_dtype is not None:
+        wr, wi = wr.astype(matmul_dtype), wi.astype(matmul_dtype)
+        xr, xi = xr.astype(matmul_dtype), xi.astype(matmul_dtype)
+
+    def mm(a, ww):
+        return jnp.einsum("...lmi,iol->...lmo", a, ww,
+                          preferred_element_type=jnp.float32)
+
+    yr = mm(xr, wr) - mm(xi, wi)
+    yi = mm(xr, wi) + mm(xi, wr)
+    return _emit(jnp.stack([yr, yi], axis=-1), out_dtype)
+
+
 def contract_dhconv_stacked(x: jax.Array, w: jax.Array,
-                            matmul_dtype=None) -> jax.Array:
+                            matmul_dtype=None, out_dtype=None) -> jax.Array:
     """Merged-GEMM Driscoll-Healy conv on the stacked real layout.
 
     x: (..., l, m, ci, 2) real (``RealSHT(..., stacked=True)`` output),
@@ -98,7 +134,7 @@ def contract_dhconv_stacked(x: jax.Array, w: jax.Array,
                    preferred_element_type=jnp.float32)
     yr = p[..., 0, :, 0] - p[..., 1, :, 1]
     yi = p[..., 0, :, 1] + p[..., 1, :, 0]
-    return jnp.stack([yr, yi], axis=-1)
+    return _emit(jnp.stack([yr, yi], axis=-1), out_dtype)
 
 
 def contract_diagonal(x: jax.Array, w: jax.Array, separable: bool = False,
@@ -167,7 +203,8 @@ def contract_dhconv_cp(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Ar
     return jax.lax.complex(yr, yi)
 
 
-def cp_spatial_project(x: jax.Array, A: jax.Array, matmul_dtype=None) -> jax.Array:
+def cp_spatial_project(x: jax.Array, A: jax.Array, matmul_dtype=None,
+                       out_dtype=None) -> jax.Array:
     """Rank-space pipeline stage 1: project channels to rank IN GRID SPACE.
 
     Channel mixing commutes with the (channel-wise) SHT, so the CP input
@@ -188,8 +225,8 @@ def cp_spatial_project(x: jax.Array, A: jax.Array, matmul_dtype=None) -> jax.Arr
     xd = x
     if matmul_dtype is not None:
         xd, Ar2 = x.astype(matmul_dtype), Ar2.astype(matmul_dtype)
-    return jnp.einsum("...hwc,cr->...hwr", xd, Ar2,
-                      preferred_element_type=jnp.float32)
+    return _emit(jnp.einsum("...hwc,cr->...hwr", xd, Ar2,
+                            preferred_element_type=jnp.float32), out_dtype)
 
 
 def cp_spectral_scale_stacked(zs: jax.Array, C: jax.Array) -> jax.Array:
@@ -220,7 +257,8 @@ def cp_spectral_scale_stacked(zs: jax.Array, C: jax.Array) -> jax.Array:
     )
 
 
-def cp_spatial_expand(g: jax.Array, B: jax.Array, matmul_dtype=None) -> jax.Array:
+def cp_spatial_expand(g: jax.Array, B: jax.Array, matmul_dtype=None,
+                      out_dtype=None) -> jax.Array:
     """Rank-space pipeline stage 3: expand rank to output channels IN GRID SPACE.
 
     g: (..., h, w, 2R) real — ISHT of the ``cp_spectral_scale_stacked`` output,
@@ -232,8 +270,8 @@ def cp_spatial_expand(g: jax.Array, B: jax.Array, matmul_dtype=None) -> jax.Arra
     gd = g
     if matmul_dtype is not None:
         gd, W2 = g.astype(matmul_dtype), W2.astype(matmul_dtype)
-    return jnp.einsum("...hwr,ro->...hwo", gd, W2,
-                      preferred_element_type=jnp.float32)
+    return _emit(jnp.einsum("...hwr,ro->...hwo", gd, W2,
+                            preferred_element_type=jnp.float32), out_dtype)
 
 
 def tucker_rank_kernel(core: jax.Array, C: jax.Array) -> jax.Array:
@@ -251,7 +289,7 @@ def tucker_rank_kernel(core: jax.Array, C: jax.Array) -> jax.Array:
 
 
 def tucker_spectral_mix_stacked(zs: jax.Array, K: jax.Array,
-                                matmul_dtype=None) -> jax.Array:
+                                matmul_dtype=None, out_dtype=None) -> jax.Array:
     """Tucker rank pipeline stage 2: per-l complex R->R mix, stacked layout.
 
     zs: (..., l, m, 2R, 2) — ``RealSHT(stacked=True)`` of the grid-space
@@ -279,10 +317,10 @@ def tucker_spectral_mix_stacked(zs: jax.Array, K: jax.Array,
 
     q_re = mm(p_re, Kr) - mm(p_im, Ki)
     q_im = mm(p_re, Ki) + mm(p_im, Kr)
-    return jnp.concatenate(
+    return _emit(jnp.concatenate(
         [jnp.stack([q_re, q_im], axis=-1), jnp.stack([-q_im, q_re], axis=-1)],
         axis=-2,
-    )
+    ), out_dtype)
 
 
 def contract_dhconv_tucker(x: jax.Array, factors: dict, matmul_dtype=None) -> jax.Array:

@@ -64,7 +64,8 @@ class InverseRealFFT2:
         mmax = mmax if mmax is not None else nlon // 2 + 1
         return InverseRealFFT2(nlat, nlon, lmax, mmax)
 
-    def __call__(self, x: jax.Array, matrix=None, dft=None) -> jax.Array:  # matrix/dft unused (API parity with SHT)
+    def __call__(self, x: jax.Array, matrix=None, dft=None,
+                 out_dtype=None) -> jax.Array:  # matrix/dft/out_dtype unused (API parity with SHT)
         x = x.astype(jnp.complex64)
         lpos = (self.lmax + 1) // 2
         lneg = self.lmax // 2

@@ -40,6 +40,19 @@ def _effective_matmul_dtype(requested: str) -> str:
     return requested
 
 
+def _emit(y: jax.Array, out_dtype) -> jax.Array:
+    """Round a spectral-stage output to ``out_dtype`` (the spectral-pipeline
+    IO dtype). Under ``sht_matmul_dtype=bfloat16`` every downstream GEMM
+    rounds its inputs to bf16 anyway, so emitting bf16 here is numerically
+    identical on the main path while halving the HBM bytes of the
+    materialized (l, m, c, 2) intermediates — the dominant traffic of the
+    window program (results/roofline). XLA folds the convert into the dot's
+    epilogue so the narrow tensor is what crosses HBM."""
+    if out_dtype is None:
+        return y
+    return y.astype(out_dtype)
+
+
 def _analysis_folded(x: jax.Array, A: jax.Array, nlat: int, lmax: int) -> jax.Array:
     """Even/odd-folded Legendre analysis.
 
@@ -143,7 +156,8 @@ class RealSHT:
         return self._analysis
 
     def __call__(self, x: jax.Array, matrix: jax.Array | None = None,
-                 dft: jax.Array | None = None, stacked: bool = False) -> jax.Array:
+                 dft: jax.Array | None = None, stacked: bool = False,
+                 out_dtype=None) -> jax.Array:
         """x: (..., nlat, nlon, C) real -> (..., lmax, mmax, C) complex64.
 
         ``matrix``/``dft`` let callers pass the (possibly traced) Legendre /
@@ -154,8 +168,14 @@ class RealSHT:
         ``(..., lmax, mmax, C, 2)`` float32 instead of complex64 — the native
         output layout of the fused formulation, consumed directly by the
         merged dhconv GEMM and ``InverseRealSHT`` without complex round-trips.
+
+        ``out_dtype`` (stacked only): emit the longitude-stage and spectral
+        outputs in this dtype (see ``_emit``) — the spectral-IO bytes lever.
         """
         m = self._analysis if matrix is None else matrix
+        if out_dtype is not None and not stacked:
+            raise ValueError("out_dtype requires stacked=True (complex64 "
+                             "has no narrow variant)")
         x = x.astype(jnp.float32)
         mmd = _effective_matmul_dtype(self.matmul_dtype)
         md = m.astype(mmd)
@@ -174,7 +194,7 @@ class RealSHT:
             re = _analysis_folded(xr.astype(mmd), md, self.nlat, self.lmax)
             im = _analysis_folded(xi.astype(mmd), md, self.nlat, self.lmax)
             if stacked:
-                return jnp.stack([re, im], axis=-1)
+                return _emit(jnp.stack([re, im], axis=-1), out_dtype)
             return jax.lax.complex(re, im)
         # fused real/imag formulation: the cos/sin DFT components ride as a
         # trailing r axis INSIDE the dot_generals — one DFT GEMM instead of
@@ -184,8 +204,9 @@ class RealSHT:
         if self.lon_method == "matmul":
             d = (self._dft if dft is None else dft).astype(mmd)  # (w, m, 2)
             xd = x.astype(mmd)
-            xf2 = jnp.einsum("...hwc,wmr->...hmcr", xd, d,
-                             preferred_element_type=jnp.float32)
+            xf2 = _emit(jnp.einsum("...hwc,wmr->...hmcr", xd, d,
+                                   preferred_element_type=jnp.float32),
+                        out_dtype)
         else:
             # longitude FFT with 1/nlon (norm="forward"), truncate to mmax
             xf = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
@@ -195,7 +216,7 @@ class RealSHT:
         z = jnp.einsum("...hmcr,hlm->...lmcr", xf2.astype(mmd), md,
                        preferred_element_type=jnp.float32)
         if stacked:
-            return z
+            return _emit(z, out_dtype)
         return jax.lax.complex(z[..., 0], z[..., 1])
 
 
@@ -234,13 +255,16 @@ class InverseRealSHT:
         return self._synthesis
 
     def __call__(self, x: jax.Array, matrix: jax.Array | None = None,
-                 dft: jax.Array | None = None) -> jax.Array:
+                 dft: jax.Array | None = None, out_dtype=None) -> jax.Array:
         """x: (..., lmax, mmax, C) complex -> (..., nlat, nlon, C) real float32.
 
         Also accepts the stacked real layout ``(..., lmax, mmax, C, 2)``
         (see ``RealSHT.__call__(stacked=True)``) — the fused spectral
         pipeline hands that through SHT -> dhconv -> ISHT without ever
         materializing complex values.
+
+        ``out_dtype``: emit the latitude-synthesis intermediate and the grid
+        output in this dtype (see ``_emit``); matmul longitude path only.
         """
         m = self._synthesis if matrix is None else matrix
         is_stacked = not jnp.issubdtype(x.dtype, jnp.complexfloating)
@@ -267,11 +291,13 @@ class InverseRealSHT:
             # Hermitian inverse DFT contracts (m, r) jointly in ONE dot
             xs = (x if is_stacked
                   else jnp.stack([x.real, x.imag], axis=-1)).astype(mmd)
-            y = jnp.einsum("...lmcr,hlm->...hmcr", xs, md,
-                           preferred_element_type=jnp.float32)
+            y = _emit(jnp.einsum("...lmcr,hlm->...hmcr", xs, md,
+                                 preferred_element_type=jnp.float32),
+                      out_dtype)
             d = (self._dft if dft is None else dft).astype(mmd)  # (m, w, 2)
-            return jnp.einsum("...hmcr,mwr->...hwc", y.astype(mmd), d,
-                              preferred_element_type=jnp.float32)
+            return _emit(jnp.einsum("...hmcr,mwr->...hwc", y.astype(mmd), d,
+                                    preferred_element_type=jnp.float32),
+                         out_dtype)
         else:
             xs = (x if is_stacked
                   else jnp.stack([x.real, x.imag], axis=-1)).astype(mmd)

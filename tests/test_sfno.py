@@ -460,3 +460,43 @@ def test_norm_one_pass_vs_exact():
         {"model_config": {"_target_": "x.SFNONet", "embed_dim": 16}}
     )
     assert cfg["model"]["exact_norm"] is True
+
+
+def test_spectral_io_dtype_matches_default():
+    """spectral_io_dtype="bfloat16" (emit every SHT/dhconv/ISHT stage in bf16
+    on the stacked layout — the intermediate-HBM-bytes lever, see
+    results/roofline) must agree with the f32-materialized default within
+    bf16 rounding, for the dense dhconv, the CP rank pipeline, and the
+    Tucker rank pipeline. Same param tree: the flag changes no shapes."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 16, 32, 3)), jnp.float32)
+    for extra in (
+        {},  # dense dhconv
+        {"factorization": "cp", "rank": 0.25, "rank_pipeline": True},
+        {"factorization": "tucker", "rank": 0.25, "rank_pipeline": True},
+    ):
+        cfg = tiny_cfg(embed_dim=16, **extra)
+        model = SFNO(cfg)
+        model_io = SFNO(dc.replace(cfg, spectral_io_dtype="bfloat16"))
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(model.apply(params, x))
+        y_io = np.asarray(model_io.apply(params, x))
+        assert y_io.dtype == np.float32  # model output dtype is unchanged
+        scale = np.abs(y).max()
+        np.testing.assert_allclose(y_io, y, atol=3e-2 * scale,
+                                   err_msg=str(extra))
+
+
+def test_spectral_io_exact_when_unset():
+    """The io plumbing (stacked4 contraction routing) must be bit-exact when
+    spectral_io_dtype is unset — the default path is untouched."""
+    cfg = tiny_cfg()
+    model = SFNO(cfg)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 16, 32, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y1 = np.asarray(model.apply(params, x))
+    y2 = np.asarray(model.apply(params, x))
+    np.testing.assert_array_equal(y1, y2)

@@ -291,3 +291,48 @@ def test_stacked_pipeline_matches_complex():
     np.testing.assert_allclose(
         np.asarray(isht_fold(sht_fold(x, stacked=True))),
         np.asarray(isht_fold(sht_fold(x))), atol=1e-5)
+
+
+def test_stacked4_contraction_and_out_dtype():
+    """contract_dhconv_stacked4 (four-GEMM stacked form used by the
+    spectral-IO path) must equal the complex contract_dhconv exactly at f32,
+    and the out_dtype emission must round each stage to bf16 without changing
+    shapes/layout."""
+    from spherical_dyffusion_tpu.ops.contractions import (
+        contract_dhconv,
+        contract_dhconv_stacked4,
+    )
+
+    rng = np.random.default_rng(13)
+    H, W, L, M, CI, CO = 12, 24, 8, 9, 5, 6
+    sht = RealSHT.create(H, W, lmax=L, mmax=M, grid="equiangular")
+    isht = InverseRealSHT.create(H, W, lmax=L, mmax=M, grid="equiangular")
+    x = jnp.asarray(rng.standard_normal((2, H, W, CI)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((CI, CO, L, 2)) * 0.1, jnp.float32)
+
+    spec_c = sht(x)
+    spec_s = sht(x, stacked=True)
+    y_c = contract_dhconv(spec_c, w)
+    y_s = contract_dhconv_stacked4(spec_s, w)
+    np.testing.assert_allclose(np.asarray(y_s[..., 0]), np.asarray(y_c.real),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_s[..., 1]), np.asarray(y_c.imag),
+                               atol=1e-5)
+
+    # bf16 emission: correct dtypes, values within bf16 rounding of f32 path
+    bf16 = jnp.bfloat16
+    spec_b = sht(x, stacked=True, out_dtype=bf16)
+    assert spec_b.dtype == bf16 and spec_b.shape == spec_s.shape
+    y_b = contract_dhconv_stacked4(spec_b, w, out_dtype=bf16)
+    assert y_b.dtype == bf16
+    out_b = isht(y_b, out_dtype=bf16)
+    assert out_b.dtype == bf16
+    out_f = isht(y_s)
+    scale = np.abs(np.asarray(out_f)).max()
+    np.testing.assert_allclose(np.asarray(out_b, np.float32),
+                               np.asarray(out_f), atol=3e-2 * scale)
+
+    # complex output has no narrow variant
+    import pytest
+    with pytest.raises(ValueError):
+        sht(x, stacked=False, out_dtype=bf16)
