@@ -103,6 +103,16 @@ class TrainerConfig:
     # independence is unchanged. Set "threefry" for cross-backend stream
     # reproducibility.
     rng_impl: str = "rbg"
+    # mirror saved checkpoints to this s3://bucket/prefix (native SigV4
+    # client, endpoint via S3_ENDPOINT_URL) with content-hash dedup — the
+    # reference's logger-side ckpt upload (wandb_callbacks.py:74-140).
+    # Best-effort: a dead endpoint never kills training.
+    ckpt_mirror: Optional[str] = None
+    # val-metric key (e.g. "val/weighted_mean_generate-mse") tracked for
+    # best.ckpt: lower is better; on improvement best.ckpt is saved (and
+    # mirrored when ckpt_mirror is set), like the reference's
+    # ModelCheckpoint(monitor=...) + upload-on-improvement.
+    ckpt_monitor: Optional[str] = None
 
 
 def chunked_vmap(fn: Callable, keys: jnp.ndarray, chunk: Optional[int] = None):
@@ -523,6 +533,7 @@ class Trainer:
                     f"epoch {epoch}: train/loss={mean_loss:.5f} "
                     f"({epoch_s:.1f}s, {step} steps)"
                 )
+            val = None
             if (epoch + 1) % val_every == 0 and hasattr(self, "validate"):
                 val = self.validate(state)
                 history["val"].append(val)
@@ -541,8 +552,7 @@ class Trainer:
                     if verbose:
                         head = {k: round(float(v), 5) for k, v in list(rv.items())[:3]}
                         print(f"epoch {epoch} rollout: {head}")
-            if cfg.ckpt_dir:
-                self.save_checkpoint(state, os.path.join(cfg.ckpt_dir, "last.ckpt"))
+            self._save_and_mirror(state, val)
         self.state = state
         return history
 
@@ -720,6 +730,7 @@ class Trainer:
             if verbose:
                 print(f"epoch {epoch}: train/loss={mean_loss:.5f} "
                       f"({epoch_s:.1f}s, {len(losses)} steps fused)")
+            val = None
             if (epoch + 1) % val_every == 0 and hasattr(self, "validate"):
                 val = self.validate(state)
                 history["val"].append(val)
@@ -728,8 +739,7 @@ class Trainer:
                 if verbose and val:
                     head = {k: round(float(v), 5) for k, v in list(val.items())[:4]}
                     print(f"epoch {epoch}: {head}")
-            if cfg.ckpt_dir:
-                self.save_checkpoint(state, os.path.join(cfg.ckpt_dir, "last.ckpt"))
+            self._save_and_mirror(state, val)
         self.state = state
         return history
 
@@ -939,6 +949,37 @@ class Trainer:
         return {f"val/{k.split('/', 1)[1]}": v for k, v in agg.get_logs().items()}
 
     # ------------------------------------------------------------ checkpoint
+    def _save_and_mirror(self, state: TrainState, val: Optional[dict]) -> None:
+        """Epoch-end checkpoint trailer shared by every fit loop: save
+        last.ckpt, track the monitored val metric (lower is better), save
+        best.ckpt on improvement, and mirror saved files to S3 when
+        ``ckpt_mirror`` is set. The mirror's hash dedup makes the every-epoch
+        last.ckpt re-save cheap when weights are unchanged (reference
+        analog: logger-side upload of improved ckpts with hash dedup,
+        wandb_callbacks.py:74-140)."""
+        cfg = self.cfg
+        if not cfg.ckpt_dir:
+            return
+        last = os.path.join(cfg.ckpt_dir, "last.ckpt")
+        self.save_checkpoint(state, last)
+        improved = False
+        if cfg.ckpt_monitor and val and cfg.ckpt_monitor in val:
+            v = float(val[cfg.ckpt_monitor])
+            best = getattr(self, "_best_monitor", None)
+            if best is None or v < best:
+                self._best_monitor = v
+                self.save_checkpoint(state, os.path.join(cfg.ckpt_dir, "best.ckpt"))
+                improved = True
+        if cfg.ckpt_mirror:
+            mirror = getattr(self, "_ckpt_mirror", None)
+            if mirror is None:
+                from ..utils.checkpointing import CheckpointMirror
+
+                mirror = self._ckpt_mirror = CheckpointMirror(cfg.ckpt_mirror)
+            mirror.mirror(last)
+            if improved:
+                mirror.mirror(os.path.join(cfg.ckpt_dir, "best.ckpt"))
+
     def save_checkpoint(self, state: TrainState, path: str, extra_config: dict = None):
         """Single checkpoint format: the config-embedding one (there used to be
         a sidecar-JSON variant, which left mid-training last.ckpt files that

@@ -14,7 +14,7 @@ import os
 from typing import Optional
 
 __all__ = ["resolve_checkpoint_path", "download_from_hf", "find_checkpoint_in_dir",
-            "S3Client"]
+            "S3Client", "CheckpointMirror"]
 
 HF_PREFIX = "hf:"
 DEFAULT_CACHE = os.path.expanduser("~/.cache/spherical_dyffusion_tpu")
@@ -75,3 +75,75 @@ def download_from_hf(spec: str, cache_dir: Optional[str] = None,
 # Native dependency-free S3 client (SigV4 over urllib) — replaces the
 # reference's boto3 plumbing (s3utils.py); see utils/s3.py and tests/test_s3.py.
 from .s3 import S3Client  # noqa: E402,F401  (re-export, historical home)
+
+
+class CheckpointMirror:
+    """Mirror training checkpoints to S3 with content-hash dedup.
+
+    The distribution half of checkpointing: the reference's logger uploads
+    every improved checkpoint out of the run dir, skipping files whose
+    content hash was already uploaded (src/utilities/wandb_callbacks.py:
+    74-140, MD5-based dedup). Here the destination is an
+    ``s3://bucket/prefix`` URL served by the native SigV4 client — the
+    endpoint override (``endpoint_url`` or ``S3_ENDPOINT_URL``) makes it
+    loopback-testable with zero egress.
+
+    Dedup is two-level: an in-process cache (fast path for the every-epoch
+    ``last.ckpt`` re-save with unchanged weights) and a ``<key>.sha256``
+    sidecar object so resumed runs also skip unchanged uploads.
+    """
+
+    def __init__(self, url: str, endpoint_url: Optional[str] = None,
+                 region: str = "us-east-1"):
+        if not url.startswith("s3://"):
+            raise ValueError(f"ckpt_mirror must be an s3:// URL, got {url!r}")
+        rest = url[len("s3://"):]
+        bucket, _, prefix = rest.partition("/")
+        if not bucket:
+            raise ValueError(f"no bucket in ckpt_mirror URL {url!r}")
+        self.client = S3Client(bucket, endpoint_url=endpoint_url, region=region)
+        self.prefix = prefix.strip("/")
+        self._uploaded: dict = {}  # full key -> sha256 hex
+
+    def _key(self, name: str) -> str:
+        return f"{self.prefix}/{name}" if self.prefix else name
+
+    @staticmethod
+    def _file_sha256(path: str) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    def mirror(self, local_path: str, name: Optional[str] = None) -> bool:
+        """Upload ``local_path`` unless its content is already mirrored.
+
+        Returns True when an upload actually happened. Never raises on
+        network failure: training must not die because the mirror endpoint
+        is down (the reference's uploads are best-effort for the same
+        reason) — failures are printed and the ckpt stays local.
+        """
+        key = self._key(name or os.path.basename(local_path))
+        sha = self._file_sha256(local_path)
+        if self._uploaded.get(key) == sha:
+            return False
+        try:
+            if key not in self._uploaded:
+                # cross-run dedup: the sidecar records the last uploaded hash
+                try:
+                    remote = self.client.get_bytes(key + ".sha256").decode()
+                except Exception:
+                    remote = None
+                if remote == sha:
+                    self._uploaded[key] = sha
+                    return False
+            self.client.upload(local_path, key)
+            self.client.put_bytes(key + ".sha256", sha.encode())
+            self._uploaded[key] = sha
+            return True
+        except Exception as e:  # pragma: no cover - exercised via loopback
+            print(f"[ckpt-mirror] upload of {key} failed (kept local): {e}")
+            return False

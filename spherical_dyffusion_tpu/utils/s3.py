@@ -109,6 +109,12 @@ class S3Client:
         with open(local_path, "rb") as f:
             self._request("PUT", key, payload=f.read())
 
+    def put_bytes(self, key: str, data: bytes) -> None:
+        self._request("PUT", key, payload=data)
+
+    def get_bytes(self, key: str) -> bytes:
+        return self._request("GET", key)
+
     def download(self, key: str, local_path: str) -> None:
         data = self._request("GET", key)
         os.makedirs(os.path.dirname(local_path) or ".", exist_ok=True)
