@@ -257,22 +257,31 @@ class DYffusionStepper:
             self._rollout_cache[n_steps] = self._build_rollout(n_steps)
         return self._rollout_cache[n_steps]
 
-    def shard_rows(self, x: Optional[jax.Array], axis: int = 0):
+    def shard_rows(self, x: Optional[jax.Array], axis: int = 0,
+                   spatial_dims=None):
         """Shard a batch-rows array over the mesh's ``data`` axis (no-op
         without a mesh). Rollout batch rows are fully independent, so this is
         the embarrassingly-parallel axis — collectives only appear if a model
-        axis is also meshed."""
+        axis is also meshed. ``spatial_dims``: optional (lat_dim, lon_dim)
+        axes to shard over the mesh's 'h'/'w' axes when present — the
+        pod-scale spatial decomposition of the window program (XLA inserts
+        the SHT/DFT contraction collectives; cf. the reference's hand-built
+        distributed SHT, sfnonet.py:543-597)."""
         if self.mesh is None or x is None:
             return x
         from jax.sharding import NamedSharding, PartitionSpec
 
-        dp = self.mesh.shape.get("data", 1)
-        if dp <= 1 or x.shape[axis] % dp != 0:
-            # fewer rows than the data axis (e.g. single-IC rollout
-            # validation): replicate instead of sharding
-            return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec()))
         spec = [None] * x.ndim
-        spec[axis] = "data"
+        dp = self.mesh.shape.get("data", 1)
+        if dp > 1 and x.shape[axis] % dp == 0:
+            # fewer rows than the data axis (e.g. single-IC rollout
+            # validation): leave replicated instead of sharding
+            spec[axis] = "data"
+        if spatial_dims is not None:
+            for name, d in zip(("h", "w"), spatial_dims):
+                n = self.mesh.shape.get(name, 1)
+                if n > 1 and x.shape[d] % n == 0:
+                    spec[d] = name
         return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec(*spec)))
 
     # ------------------------------------------------------------------- run
@@ -293,6 +302,24 @@ class DYffusionStepper:
         initial-condition perturbation is applied) or continues one (it is
         not). Drivers pass ``start_step == 0``; the default True keeps
         single-window calls equivalent to a fresh rollout."""
+        fn, args = self._window_args(
+            x0_norm, window_forcing_norm, window_prescribed_target_norm,
+            mask, rng, n_steps, apply_inputs_noise)
+        return fn(*args)
+
+    def _window_args(
+        self,
+        x0_norm: jax.Array,
+        window_forcing_norm: Optional[jax.Array],
+        window_prescribed_target_norm: Optional[jax.Array],
+        mask: Optional[jax.Array],
+        rng: jax.Array,
+        n_steps: int,
+        apply_inputs_noise: bool = True,
+    ):
+        """Argument prep for one window: returns ``(jitted_fn, args)`` so
+        callers can either invoke (``run_window``) or ``jitted_fn.lower(*args)
+        .compile()`` for AOT memory analysis (the multichip dryrun)."""
         H = self.horizon
         n_full, r = divmod(n_steps, H)
         n_seg = n_full + (1 if r > 0 else 0)
@@ -334,10 +361,11 @@ class DYffusionStepper:
                 mask[None, :, None], (n_seg, B, H) + mask.shape[1:3]
             )
         if self.mesh is not None:
-            x0_norm = self.shard_rows(x0_norm)
-            seg_f = self.shard_rows(seg_f, axis=1)  # (n_seg, B, ...)
-            seg_t = self.shard_rows(seg_t, axis=1)
-            seg_m = self.shard_rows(seg_m, axis=1)
+            x0_norm = self.shard_rows(x0_norm, spatial_dims=(1, 2))
+            # (n_seg, B, [steps,] H, W[, C]) — seg_f carries a channel axis
+            seg_f = self.shard_rows(seg_f, axis=1, spatial_dims=(2, 3))
+            seg_t = self.shard_rows(seg_t, axis=1, spatial_dims=(3, 4))
+            seg_m = self.shard_rows(seg_m, axis=1, spatial_dims=(3, 4))
         fn = self.rollout_fn(n_steps)
         scale = jnp.float32(self.inputs_noise if apply_inputs_noise else 0.0)
-        return fn(self.params, x0_norm, seg_f, seg_t, seg_m, rng, scale)
+        return fn, (self.params, x0_norm, seg_f, seg_t, seg_m, rng, scale)

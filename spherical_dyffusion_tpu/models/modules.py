@@ -141,11 +141,19 @@ class QuantizedDropout(nn.Module):
     """
 
     rate: float
+    # exact=True restores float-bernoulli dropout at the EXACT rate (no
+    # 1/256 quantization) — auto-selected by translate_reference_hparams for
+    # loaded reference checkpoints, whose operative spread mechanism is
+    # inference-time interpolator dropout (reference dyffusion.py:226-240):
+    # ensemble statistics with real ckpts must not see a <=0.4% rate shift.
+    exact: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         if deterministic or self.rate <= 0.0:
             return x
+        if self.exact:
+            return nn.Dropout(self.rate)(x, deterministic=False)
         t = int(round((1.0 - self.rate) * 256))
         if t >= 256:  # rate < 1/512 rounds to keep-everything
             return x
@@ -165,6 +173,7 @@ class MLP2d(nn.Module):
     activation: str = "gelu"
     drop_rate: float = 0.0
     dtype: Any = None  # compute dtype (params stay float32)
+    exact_dropout: bool = False  # see QuantizedDropout.exact
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -173,11 +182,13 @@ class MLP2d(nn.Module):
                      kernel_init=nn.initializers.truncated_normal(0.02))(x)
         x = act(x)
         if self.drop_rate > 0.0:
-            x = QuantizedDropout(self.drop_rate)(x, deterministic=deterministic)
+            x = QuantizedDropout(self.drop_rate, exact=self.exact_dropout)(
+                x, deterministic=deterministic)
         x = nn.Dense(self.out_features, dtype=self.dtype,
                      kernel_init=nn.initializers.truncated_normal(0.02))(x)
         if self.drop_rate > 0.0:
-            x = QuantizedDropout(self.drop_rate)(x, deterministic=deterministic)
+            x = QuantizedDropout(self.drop_rate, exact=self.exact_dropout)(
+                x, deterministic=deterministic)
         return x
 
 

@@ -79,6 +79,11 @@ class SFNOConfig:
     # one-pass fused form (+15% end-to-end); auto-selected True for loaded
     # reference checkpoints by the ckpt translator, like gelu_exact
     exact_norm: bool = False
+    # exact float-bernoulli dropout (no 1/256 rate quantization); auto-selected
+    # True for loaded reference checkpoints — dropout is the reference's
+    # operative ensemble-spread mechanism (dyffusion.py:226-240), so real-ckpt
+    # ensemble statistics must see the exact rate (gelu_exact pattern)
+    exact_dropout: bool = False
     hard_thresholding_fraction: float = 1.0
     dropout_mlp: float = 0.0
     dropout_filter: float = 0.0
@@ -532,6 +537,7 @@ class FNOBlock(nn.Module):
                 activation=cfg.activation_function,
                 drop_rate=cfg.dropout_mlp,
                 dtype=jnp.dtype(cfg.compute_dtype),
+                exact_dropout=cfg.exact_dropout,
                 name="mlp",
             )(x, deterministic=deterministic)
 
@@ -589,7 +595,8 @@ class SFNO(nn.Module):
             )
             x = x + pe
             if cfg.pos_emb_dropout > 0.0:
-                x = QuantizedDropout(cfg.pos_emb_dropout)(x, deterministic=deterministic)
+                x = QuantizedDropout(cfg.pos_emb_dropout, exact=cfg.exact_dropout)(
+                    x, deterministic=deterministic)
 
         # time embedding (reference sfnonet.py:654-666, 775-785)
         t_repr = None

@@ -173,6 +173,7 @@ class NumpySFNOOracle:
         max_time: float = 1000.0,
         data_grid: str = "equiangular",
         round_matrices_to_f32: bool = False,
+        dropout_mlp: float = 0.0,
     ):
         self.sd = {k: np.asarray(v, np.float64) for k, v in state_dict.items()}
         self.img_shape = tuple(img_shape)
@@ -186,6 +187,7 @@ class NumpySFNOOracle:
         self.tss_before = time_scale_shift_before_filter
         self.time_rescale = time_rescale
         self.min_time, self.max_time = min_time, max_time
+        self.dropout_mlp = float(dropout_mlp)
 
         H, W = self.img_shape
         h, w = H // scale_factor, W // scale_factor
@@ -243,7 +245,19 @@ class NumpySFNOOracle:
             y = y + self.sd[bkey].reshape(1, -1, 1, 1)
         return y, residual
 
-    def _block(self, x: np.ndarray, i: int, t_repr: Optional[np.ndarray]) -> np.ndarray:
+    def _dropout(self, x: np.ndarray,
+                 rng: Optional[np.random.Generator]) -> np.ndarray:
+        """Inverted float-bernoulli dropout at the exact rate — the reference
+        torch ``nn.Dropout`` semantics (train mode). Active only when the
+        caller passes an rng; parity's deterministic legs pass None."""
+        p = self.dropout_mlp
+        if rng is None or p <= 0.0:
+            return x
+        keep = rng.random(x.shape) >= p
+        return x * keep / (1.0 - p)
+
+    def _block(self, x: np.ndarray, i: int, t_repr: Optional[np.ndarray],
+               rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """FourierNeuralOperatorBlock.forward (sfnonet.py:289-337)."""
         sd = self.sd
         x_norm = _instance_norm(x, sd[f"blocks.{i}.norm0.weight"],
@@ -263,8 +277,12 @@ class NumpySFNOOracle:
             y = _conv1x1(y, sd[f"blocks.{i}.mlp.fwd.0.weight"],
                          sd[f"blocks.{i}.mlp.fwd.0.bias"])
             y = _gelu(y)
+            # reference MLP Sequential: fc1, act, drop, fc2, drop
+            # (modulus layers.py MLP; active only in train mode / with rng)
+            y = self._dropout(y, rng)
             y = _conv1x1(y, sd[f"blocks.{i}.mlp.fwd.{fc2}.weight"],
                          sd[f"blocks.{i}.mlp.fwd.{fc2}.bias"])
+            y = self._dropout(y, rng)
         return y + residual
 
     # -------------------------------------------------------------- forward
@@ -275,9 +293,11 @@ class NumpySFNOOracle:
         condition: Optional[np.ndarray] = None,
         static_condition: Optional[np.ndarray] = None,
         collect: bool = True,
+        rng: Optional[np.random.Generator] = None,
     ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         """Reference SFNO forward (sfnonet.py:797-837). Returns (output,
-        per-stage activations keyed encoder/pos/block_i/decoder)."""
+        per-stage activations keyed encoder/pos/block_i/decoder). ``rng``
+        activates train-mode MLP dropout (the stochastic-parity leg)."""
         sd = self.sd
         acts: Dict[str, np.ndarray] = {}
         parts = [np.asarray(inputs, np.float64)]
@@ -304,7 +324,7 @@ class NumpySFNOOracle:
             acts["time_emb"] = t_repr.copy()
 
         for i in range(self.num_layers):
-            x = self._block(x, i, t_repr)
+            x = self._block(x, i, t_repr, rng=rng)
             if collect:
                 acts[f"block_{i}"] = x.copy()
 

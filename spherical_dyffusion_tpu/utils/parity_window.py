@@ -74,10 +74,16 @@ class NumpyDYffusionWindowOracle:
         mask_value: int = 1,
         interpolate_mask: bool = False,
     ):
-        if cfg.enable_interpolator_dropout not in (False, None):
+        # Deterministic parity requires dropout OFF (draws cannot match
+        # between numpy and jax). The STOCHASTIC leg instead passes an rng to
+        # run_window: interpolator dropout runs float-bernoulli at the exact
+        # rate on both sides and ensemble statistics are compared.
+        if (cfg.enable_interpolator_dropout not in (False, None)
+                and interpolator.dropout_mlp <= 0.0):
             raise ValueError(
-                "window parity requires enable_interpolator_dropout=False "
-                "(dropout draws cannot match between numpy and jax)"
+                "enable_interpolator_dropout=True requires the interpolator "
+                "oracle to be built with its dropout_mlp rate (stochastic "
+                "leg) — or disable it for deterministic parity"
             )
         self.interp = interpolator
         self.fc = forecaster
@@ -93,17 +99,21 @@ class NumpyDYffusionWindowOracle:
 
     # ----------------------------------------------------------- network ops
     def _interpolate(self, x_end: np.ndarray, x_last: np.ndarray,
-                     i_t: float, static: Optional[np.ndarray]) -> np.ndarray:
+                     i_t: float, static: Optional[np.ndarray],
+                     rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """Reference ``DYffusion._interpolate`` (dyffusion.py:642-662):
         x_end in state channels, x_last in forecaster-out channels; returns
-        state channels (hack prepend on both sides when configured)."""
+        state channels (hack prepend on both sides when configured). ``rng``
+        activates the interpolator's train-mode dropout (the reference keeps
+        the interpolator in train mode during sampling when
+        ``enable_interpolator_dropout``, dyffusion.py:226-240)."""
         B = x_end.shape[0]
         if self.cfg.hack_for_imprecise_interpolation:
             x_last = np.concatenate([x_end[:, :1], x_last], axis=1)
         inputs = np.concatenate([x_end, x_last], axis=1)
         t = np.full((B,), float(i_t), np.float64)
         out, _ = self.interp.forward(
-            inputs, time=t, static_condition=static, collect=False
+            inputs, time=t, static_condition=static, collect=False, rng=rng
         )
         if self.cfg.hack_for_imprecise_interpolation:
             out = np.concatenate([x_end[:, :1], out], axis=1)
@@ -133,14 +143,17 @@ class NumpyDYffusionWindowOracle:
 
     # --------------------------------------------------------- cold sampling
     def sample(self, initial_condition: np.ndarray,
-               static: Optional[np.ndarray] = None
+               static: Optional[np.ndarray] = None,
+               rng: Optional[np.random.Generator] = None,
                ) -> Tuple[Dict[int, np.ndarray], Optional[np.ndarray]]:
         """One full sampling pass (reference sample_loop, dyffusion.py:457-567).
 
         Returns ``(preds, ar_init)`` where preds maps dynamical step h (1..H)
         to (B, C_out, H, W) and ar_init is the autoregressive hand-off in out
-        channels (None unless the config produces one)."""
+        channels (None unless the config produces one). ``rng`` drives the
+        interpolator's dropout when ``enable_interpolator_dropout``."""
         cfg, sched = self.cfg, self.sched
+        rng = rng if cfg.enable_interpolator_dropout else None
         steps = list(sched.sampling_steps)
         N = sched.num_timesteps
         last_plus_one = steps[-1] + 1
@@ -167,7 +180,8 @@ class NumpyDYffusionWindowOracle:
 
             if s_next <= N - 1:
                 x_int_next = self._interpolate(
-                    initial_condition, xhat, float(sched.d_to_i(s_next)), static
+                    initial_condition, xhat, float(sched.d_to_i(s_next)),
+                    static, rng=rng,
                 )
             else:
                 assert is_last
@@ -178,7 +192,7 @@ class NumpyDYffusionWindowOracle:
                     if cfg.cold_ar_init:
                         x_int_s = self._interpolate(
                             initial_condition, xhat, float(sched.d_to_i(s)),
-                            static,
+                            static, rng=rng,
                         )
                         ar = x_s + xhat_state - x_int_s
                         if cfg.hack_for_imprecise_interpolation:
@@ -189,7 +203,7 @@ class NumpyDYffusionWindowOracle:
                     if s > 0:
                         x_int_s = self._interpolate(
                             initial_condition, xhat, float(sched.d_to_i(s)),
-                            static,
+                            static, rng=rng,
                         )
                     else:
                         x_int_s = x_s
@@ -213,7 +227,7 @@ class NumpyDYffusionWindowOracle:
                 sched.dynamical_steps.values())
             for i_n in [i for i in dyn_steps if i < N]:
                 p = self._interpolate(initial_condition, xhat, float(i_n),
-                                      static)
+                                      static, rng=rng)
                 if cfg.hack_for_imprecise_interpolation:
                     p = p[:, 1:]
                 preds[int(i_n) if float(i_n).is_integer() else i_n] = p
@@ -246,6 +260,7 @@ class NumpyDYffusionWindowOracle:
         forcing_norm: Optional[np.ndarray] = None,  # (B, T+1, Cf, H, W) normalized
         prescribed_target_norm: Optional[np.ndarray] = None,  # (B, T+1, H, W)
         mask: Optional[np.ndarray] = None,  # (B, T+1, H, W) raw
+        rng: Optional[np.random.Generator] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """The reference window loop (run_on_batch_multistep,
         stepper_multistep.py:362-427): every ``horizon`` steps one sampling
@@ -273,7 +288,7 @@ class NumpyDYffusionWindowOracle:
             steps_this = min(H_hor, n_steps - t_global)
             static = (np.asarray(forcing_norm[:, t_global], np.float64)
                       if forcing_norm is not None else None)
-            preds, ar_init = self.sample(x, static)
+            preds, ar_init = self.sample(x, static, rng=rng)
             seg_preds = []
             for h in range(1, steps_this + 1):
                 t_abs = t_global + h

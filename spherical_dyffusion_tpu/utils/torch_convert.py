@@ -318,6 +318,11 @@ def translate_reference_hparams(hparams: Dict[str, Any]) -> Dict[str, Any]:
     # means are large relative to their spread; reference checkpoints run
     # the exact form.
     model_cfg.setdefault("exact_norm", True)
+    # dropout is the reference's operative ensemble-spread mechanism
+    # (inference-time interpolator dropout, dyffusion.py:226-240): loaded
+    # reference ckpts run exact float-bernoulli dropout, not the 1/256-
+    # quantized fast path (same fork pattern as gelu_exact/exact_norm)
+    model_cfg.setdefault("exact_dropout", True)
     out["model"] = model_cfg
 
     dm_cfg = dict(hparams.get("datamodule_config", {}) or {})

@@ -158,6 +158,46 @@ def test_run_inference_cli_on_reference_torch_ckpt(fabricated, tmp_path):
     assert vals and all(np.isfinite(v) for v in vals)
 
 
+def test_stochastic_window_parity_on_synthetic_reference_ckpts(
+        tmp_path_factory):
+    """The stochastic leg (round-3 verdict #5): interpolator dropout ON on
+    both sides — exact float-bernoulli in the jitted stepper (the translator
+    auto-fork), train-mode numpy dropout in the f64 oracle — ensemble mean
+    and spread must agree within sampling tolerance."""
+    if not os.path.isdir(os.environ.get(
+            "REFERENCE_CONFIG_DIR", "/root/reference/src/configs")):
+        pytest.skip("reference configs not available")
+    pc = _load_parity_check()
+    out = str(tmp_path_factory.mktemp("stoch_ckpts"))
+    facts = pc.fabricate_checkpoints(
+        out, embed_dim=8, num_layers=1, horizon=3, img_shape=(8, 16),
+        n_state_extra=2, dropout_mlp=0.2,
+    )
+    report = pc.run_stochastic_parity_check(
+        facts["forecaster"], stats_dir=facts["stats"], n_members=10,
+        verbose=False,
+    )
+    assert report["rms_z"] <= report["rms_z_max_allowed"]
+    assert report["pooled_std_jax"] > 0
+
+
+def test_exact_dropout_autoselected_for_reference_ckpts(fabricated):
+    """translate_reference_hparams must fork QuantizedDropout -> exact
+    float-bernoulli for loaded reference ckpts (dropout is the reference's
+    operative ensemble-spread mechanism, reference dyffusion.py:226-240),
+    matching the gelu_exact/exact_norm pattern."""
+    from spherical_dyffusion_tpu.interface import load_experiment_checkpoint
+
+    pc, facts = fabricated
+    exp, *_ = load_experiment_checkpoint(
+        facts["forecaster"],
+        overrides={"datamodule": {"data_dir_stats": facts["stats"]},
+                   "diffusion": {"enable_interpolator_dropout": False}},
+    )
+    assert exp.interpolator.model.cfg.exact_dropout
+    assert exp.model.cfg.exact_dropout
+
+
 def test_deep_encoder_ema_conversion(tmp_path_factory):
     """Regression: EMA shadow conversion must honor the INFERRED
     encoder_layers (it used to default to 1), otherwise an encoder_layers=2
