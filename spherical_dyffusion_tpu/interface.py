@@ -379,7 +379,8 @@ def load_reference_checkpoint(
         cfg_kwargs.update({
             k: arch[k]
             for k in ("embed_dim", "num_layers", "encoder_layers",
-                      "operator_type", "pos_embed", "use_mlp", "mlp_ratio")
+                      "operator_type", "pos_embed", "use_mlp", "mlp_ratio",
+                      "filter_type", "spectral_layers")
         })
         c = SFNOConfig(
             img_shape=img_shape,
@@ -550,13 +551,10 @@ def load_ace_stepper_checkpoint(path: str, _preloaded=None):
     # DDP-wrapped checkpoints prefix 'module.' (reference strip_leading_module)
     if sd and all(k.startswith("module.") for k in sd):
         sd = {k[len("module."):]: v for k, v in sd.items()}
-    if "blocks.0.filter.filter.weight" not in sd:
-        raise NotImplementedError(
-            "weight conversion covers the linear filter family "
-            "(filter_type='linear', dhconv/diagonal); this checkpoint's "
-            "block-0 filter keys are "
-            f"{sorted(k for k in sd if k.startswith('blocks.0.filter'))[:4]}"
-        )
+    # both filter families convert: linear (dhconv/diagonal) and non-linear
+    # SpectralAttentionS2 (diagonal); infer_sfno_architecture raises loudly
+    # on anything else (l-dependant / parametrized complex activations are
+    # guarded in sfno_torch_to_flax)
     arch = infer_sfno_architecture(sd)
     area_np = np.asarray(state["area"])
     img_shape = tuple(state.get("img_shape") or area_np.shape)
@@ -585,7 +583,8 @@ def load_ace_stepper_checkpoint(path: str, _preloaded=None):
     cfg_kwargs.update({
         k: arch[k]
         for k in ("embed_dim", "num_layers", "encoder_layers",
-                  "operator_type", "pos_embed", "use_mlp", "mlp_ratio")
+                  "operator_type", "pos_embed", "use_mlp", "mlp_ratio",
+                  "filter_type", "spectral_layers")
     })
     # scale_factor recovered from the weights when possible (pos_embed lives
     # on the model grid img_shape // scale_factor) — weights beat config

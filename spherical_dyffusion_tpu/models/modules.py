@@ -165,8 +165,29 @@ class QuantizedDropout(nn.Module):
         return jnp.where(bits8 < jnp.uint8(t), x / keep, jnp.zeros_like(x))
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only twin of ``nn.Dense``: declares kernel/bias with the
+    SAME names/shapes/inits so the fused-MLP kernel path shares checkpoints
+    with the standard path bit-for-bit."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.truncated_normal(0.02),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class MLP2d(nn.Module):
-    """Pointwise 2-layer MLP (the reference's MLP of 1x1 convs, layers.py:53)."""
+    """Pointwise 2-layer MLP (the reference's MLP of 1x1 convs, layers.py:53).
+
+    ``fused=True`` routes through the Pallas VMEM-resident kernel
+    (ops/fused_mlp.py): one pass instead of GEMM / materialize hidden to HBM
+    / GEMM, with QuantizedDropout's exact math in-kernel. Inference-only (no
+    AD rule) and incompatible with ``exact_dropout``; params are identical
+    either way (``_DenseParams`` mirrors ``nn.Dense``'s tree)."""
 
     hidden_features: int
     out_features: int
@@ -174,22 +195,48 @@ class MLP2d(nn.Module):
     drop_rate: float = 0.0
     dtype: Any = None  # compute dtype (params stay float32)
     exact_dropout: bool = False  # see QuantizedDropout.exact
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 residual: Optional[jax.Array] = None) -> jax.Array:
+        drop_active = self.drop_rate > 0.0 and not deterministic
+        t = int(round((1.0 - self.drop_rate) * 256))
+        interpret = jax.default_backend() == "cpu"
+        use_fused = (self.fused and not self.exact_dropout
+                     and self.activation in ("gelu", "gelu_exact")
+                     and (not drop_active or 0 < t)
+                     # in-kernel PRNG has no CPU interpreter; use the
+                     # standard path there (params are shared, so safe)
+                     and not (interpret and drop_active))
+        if use_fused:
+            from ..ops.fused_mlp import FUSED_MLP_AVAILABLE, fused_mlp
+        if use_fused and FUSED_MLP_AVAILABLE:
+            w1, b1 = _DenseParams(self.hidden_features,
+                                  name="Dense_0")(x.shape[-1])
+            w2, b2 = _DenseParams(self.out_features,
+                                  name="Dense_1")(self.hidden_features)
+            rng = self.make_rng("dropout") if drop_active else None
+            return fused_mlp(
+                x.astype(self.dtype or x.dtype), w1, b1, w2, b2,
+                residual=residual, rng=rng,
+                drop_rate=self.drop_rate if drop_active else 0.0,
+                exact_gelu=self.activation == "gelu_exact",
+                interpret=interpret,
+            )
         act = get_activation(self.activation)
-        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+        y = nn.Dense(self.hidden_features, dtype=self.dtype, name="Dense_0",
                      kernel_init=nn.initializers.truncated_normal(0.02))(x)
-        x = act(x)
+        y = act(y)
         if self.drop_rate > 0.0:
-            x = QuantizedDropout(self.drop_rate, exact=self.exact_dropout)(
-                x, deterministic=deterministic)
-        x = nn.Dense(self.out_features, dtype=self.dtype,
-                     kernel_init=nn.initializers.truncated_normal(0.02))(x)
+            y = QuantizedDropout(self.drop_rate, exact=self.exact_dropout)(
+                y, deterministic=deterministic)
+        y = nn.Dense(self.out_features, dtype=self.dtype, name="Dense_1",
+                     kernel_init=nn.initializers.truncated_normal(0.02))(y)
         if self.drop_rate > 0.0:
-            x = QuantizedDropout(self.drop_rate, exact=self.exact_dropout)(
-                x, deterministic=deterministic)
-        return x
+            y = QuantizedDropout(self.drop_rate, exact=self.exact_dropout)(
+                y, deterministic=deterministic)
+        return y + residual if residual is not None else y
 
 
 class SinusoidalTimeEmbedding(nn.Module):

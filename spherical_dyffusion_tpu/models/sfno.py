@@ -85,6 +85,11 @@ class SFNOConfig:
     # ensemble statistics must see the exact rate (gelu_exact pattern)
     exact_dropout: bool = False
     hard_thresholding_fraction: float = 1.0
+    # route the block MLP through the Pallas VMEM-resident fused kernel
+    # (ops/fused_mlp.py): removes the hidden tensor's HBM round trip and the
+    # outer-skip read-modify-write. Inference-only (no AD rule; the trainer
+    # keeps the standard path); incompatible with exact_dropout.
+    fused_mlp: bool = False
     dropout_mlp: float = 0.0
     dropout_filter: float = 0.0
     pos_emb_dropout: float = 0.0
@@ -389,8 +394,14 @@ class SpectralAttentionS2(nn.Module):
     inv_key: str = ""
 
     def _complex_act(self, zr: jax.Array, zi: jax.Array):
+        # "real"/"cartesian" are the reference ComplexReLU semantics
+        # (activations.py:40-61: LeakyReLU(0)=ReLU on the real part resp. on
+        # both parts) — checkpoint-conversion parity depends on this.
+        # "complex" (gelu on both parts) is this repo's smooth extension.
         if self.complex_activation == "real":
-            return nn.gelu(zr, approximate=False), zi
+            return nn.relu(zr), zi
+        if self.complex_activation == "cartesian":
+            return nn.relu(zr), nn.relu(zi)
         if self.complex_activation == "complex":
             return nn.gelu(zr, approximate=False), nn.gelu(zi, approximate=False)
         raise ValueError(f"Unknown complex activation {self.complex_activation!r}")
@@ -531,6 +542,11 @@ class FNOBlock(nn.Module):
             x = time_scale_shift(x)
 
         if cfg.use_mlp:
+            # with the fused kernel and no live DropPath, the outer skip
+            # (reference outer_skip="identity", sfnonet.py:330-335) is added
+            # INSIDE the MLP kernel — saves a read-modify-write HBM pass
+            dp_active = self.drop_path > 0.0 and not deterministic
+            fuse_res = cfg.fused_mlp and not dp_active
             x = MLP2d(
                 hidden_features=int(cfg.embed_dim * cfg.mlp_ratio),
                 out_features=cfg.embed_dim,
@@ -538,8 +554,13 @@ class FNOBlock(nn.Module):
                 drop_rate=cfg.dropout_mlp,
                 dtype=jnp.dtype(cfg.compute_dtype),
                 exact_dropout=cfg.exact_dropout,
+                fused=cfg.fused_mlp,
                 name="mlp",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic,
+              residual=residual if fuse_res else None)
+            if dp_active:
+                x = DropPath(self.drop_path)(x, deterministic=deterministic)
+            return x if fuse_res else x + residual
 
         if self.drop_path > 0.0:
             x = DropPath(self.drop_path)(x, deterministic=deterministic)

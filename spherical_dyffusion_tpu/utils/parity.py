@@ -231,6 +231,25 @@ class NumpySFNOOracle:
         scale_residual = (fwd.nlat != inv.nlat or fwd.nlon != inv.nlon
                           or fwd.grid != inv.grid)
         residual = inv.isht(coef) if scale_residual else x_norm
+        if f"blocks.{i}.filter.w.0" in self.sd:
+            # non-linear SpectralAttentionS2.forward_mlp (s2convolutions.py:
+            # 384-436): complex MLP per spectral mode, ComplexReLU mode
+            # "real" between layers (relu on the real part, identity imag,
+            # activations.py:57-61), final wout contraction
+            z = coef
+            li = 0
+            while f"blocks.{i}.filter.w.{li}" in self.sd:
+                wgt = self.sd[f"blocks.{i}.filter.w.{li}"]  # (ci, co, 2)
+                z = np.einsum("bilm,io->bolm", z, wgt[..., 0] + 1j * wgt[..., 1])
+                bkey = f"blocks.{i}.filter.b.{li}"
+                if bkey in self.sd:
+                    b = self.sd[bkey]  # (co, 1, 1, 2)
+                    z = z + (b[..., 0] + 1j * b[..., 1])[None]
+                z = np.maximum(z.real, 0.0) + 1j * z.imag
+                li += 1
+            wout = self.sd[f"blocks.{i}.filter.wout"]
+            out = np.einsum("bilm,io->bolm", z, wout[..., 0] + 1j * wout[..., 1])
+            return inv.isht(out), residual
         wgt = self.sd[f"blocks.{i}.filter.filter.weight"]  # (ci, co, l[, m], 2)
         wc = wgt[..., 0] + 1j * wgt[..., 1]
         if self.operator_type == "dhconv":
@@ -267,7 +286,10 @@ class NumpySFNOOracle:
         y, residual = self._filter(x_norm, i)
         y = y + _conv1x1(residual, sd[f"blocks.{i}.inner_skip.weight"],
                          sd[f"blocks.{i}.inner_skip.bias"])
-        y = _gelu(y)
+        # act_layer exists only for the linear filter family
+        # (sfnonet.py:248-249, applied :310-311)
+        if f"blocks.{i}.filter.w.0" not in sd:
+            y = _gelu(y)
         y = _instance_norm(y, sd[f"blocks.{i}.norm1.weight"],
                            sd[f"blocks.{i}.norm1.bias"])
         if t_repr is not None and not self.tss_before:

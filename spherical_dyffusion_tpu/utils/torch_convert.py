@@ -101,6 +101,42 @@ def sfno_torch_to_flax(torch_sd: Dict[str, np.ndarray], num_layers: int,
             put(fb + "filter/weight", sd[b + "filter.filter.weight"])
         if b + "filter.filter.bias" in sd:
             put(fb + "filter/bias", sd[b + "filter.filter.bias"].reshape(-1))
+        # spectral filter (non-linear SpectralAttentionS2,
+        # s2convolutions.py:279-436): per-layer complex weights w.{l} of
+        # shape (cin, cout, 2) + wout, optional biases b.{l} (hidden,1,1,2).
+        # Our flax module splits re/im; torch bias=False -> explicit zeros
+        # (our module always has bias params, additive identity).
+        if b + "filter.w.0" in sd:
+            w0 = np.asarray(sd[b + "filter.w.0"])
+            if w0.ndim != 3:
+                raise NotImplementedError(
+                    "non-linear filter conversion covers operator_type="
+                    f"'diagonal' (w.0 of rank 3); got shape {w0.shape} "
+                    "(l-dependant)"
+                )
+            if b + "filter.activations.0.bias" in sd:
+                raise NotImplementedError(
+                    "non-linear filter conversion covers complex_activation "
+                    "'real'/'cartesian' (parameter-free); this checkpoint's "
+                    "ComplexReLU carries a bias (modulus/halfplane mode)"
+                )
+            li = 0
+            while b + f"filter.w.{li}" in sd:
+                w = np.asarray(sd[b + f"filter.w.{li}"])
+                put(fb + f"filter/w{li}_re", w[..., 0])
+                put(fb + f"filter/w{li}_im", w[..., 1])
+                if b + f"filter.b.{li}" in sd:
+                    bw = np.asarray(sd[b + f"filter.b.{li}"])
+                    put(fb + f"filter/b{li}_re", bw[..., 0].reshape(-1))
+                    put(fb + f"filter/b{li}_im", bw[..., 1].reshape(-1))
+                else:
+                    hidden = w.shape[1]
+                    put(fb + f"filter/b{li}_re", np.zeros(hidden, w.dtype))
+                    put(fb + f"filter/b{li}_im", np.zeros(hidden, w.dtype))
+                li += 1
+            wout = np.asarray(sd[b + "filter.wout"])
+            put(fb + "filter/wout_re", wout[..., 0])
+            put(fb + "filter/wout_im", wout[..., 1])
         if b + "inner_skip.weight" in sd:
             put(fb + "inner_skip/kernel", _conv1x1_to_dense(sd[b + "inner_skip.weight"]))
             put(fb + "inner_skip/bias", sd[b + "inner_skip.bias"])
@@ -151,12 +187,25 @@ def sfno_flax_to_torch(params: Dict[str, Any], encoder_layers: int = 1,
         if "time_mlp" in blk:
             sd[b + "time_mlp.1.weight"] = np.asarray(blk["time_mlp"]["kernel"]).T
             sd[b + "time_mlp.1.bias"] = np.asarray(blk["time_mlp"]["bias"])
-        if "filter" in blk:
+        if "filter" in blk and "weight" in blk["filter"]:
             sd[b + "filter.filter.weight"] = np.asarray(blk["filter"]["weight"])
             if "bias" in blk["filter"]:
                 sd[b + "filter.filter.bias"] = np.asarray(
                     blk["filter"]["bias"]
                 ).reshape(1, -1, 1, 1)
+        elif "filter" in blk and "w0_re" in blk["filter"]:
+            f = blk["filter"]
+            li = 0
+            while f"w{li}_re" in f:
+                sd[b + f"filter.w.{li}"] = np.stack(
+                    [np.asarray(f[f"w{li}_re"]), np.asarray(f[f"w{li}_im"])],
+                    axis=-1)
+                sd[b + f"filter.b.{li}"] = np.stack(
+                    [np.asarray(f[f"b{li}_re"]).reshape(-1, 1, 1),
+                     np.asarray(f[f"b{li}_im"]).reshape(-1, 1, 1)], axis=-1)
+                li += 1
+            sd[b + "filter.wout"] = np.stack(
+                [np.asarray(f["wout_re"]), np.asarray(f["wout_im"])], axis=-1)
         if "inner_skip" in blk:
             sd[b + "inner_skip.weight"] = _dense_to_conv1x1(blk["inner_skip"]["kernel"])
             sd[b + "inner_skip.bias"] = np.asarray(blk["inner_skip"]["bias"])
@@ -264,18 +313,49 @@ def infer_sfno_architecture(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     out_chans = int(
         np.asarray(sd[f"decoder.{2 * encoder_layers}.weight"]).shape[0]
     )
-    w = np.asarray(sd["blocks.0.filter.filter.weight"])
-    operator_type = "dhconv" if w.ndim == 4 else "diagonal"
+    if "blocks.0.filter.filter.weight" in sd:
+        filter_type = "linear"
+        spectral_layers = 3  # unused by the linear filter (config default)
+        w = np.asarray(sd["blocks.0.filter.filter.weight"])
+        operator_type = "dhconv" if w.ndim == 4 else "diagonal"
+    elif "blocks.0.filter.w.0" in sd:
+        # non-linear SpectralAttentionS2 (s2convolutions.py:279-436):
+        # spectral_layers = number of filter.w.{l} entries; diagonal when
+        # w.0 is rank 3 (l-dependant adds a leading modes_lat axis)
+        filter_type = "non-linear"
+        spectral_layers = 0
+        while f"blocks.0.filter.w.{spectral_layers}" in sd:
+            spectral_layers += 1
+        w = np.asarray(sd["blocks.0.filter.w.0"])
+        if w.ndim != 3:
+            raise NotImplementedError(
+                "non-linear filter conversion covers operator_type="
+                f"'diagonal' (w.0 of rank 3); got shape {w.shape} "
+                "(l-dependant)"
+            )
+        operator_type = "diagonal"
+    else:
+        raise ValueError(
+            "unrecognized block-0 filter family; keys: "
+            f"{sorted(k for k in sd if k.startswith('blocks.0.filter'))[:4]}"
+        )
     use_mlp = "blocks.0.mlp.fwd.0.weight" in sd
-    mlp_ratio = (
-        float(np.asarray(sd["blocks.0.mlp.fwd.0.weight"]).shape[0]) / embed_dim
-        if use_mlp else 2.0
-    )
+    if use_mlp:
+        mlp_ratio = float(
+            np.asarray(sd["blocks.0.mlp.fwd.0.weight"]).shape[0]) / embed_dim
+    elif filter_type == "non-linear":
+        # reference passes hidden_size_factor=mlp_ratio (sfnonet.py:228)
+        mlp_ratio = float(np.asarray(
+            sd["blocks.0.filter.w.0"]).shape[1]) / embed_dim
+    else:
+        mlp_ratio = 2.0
     return {
         "embed_dim": embed_dim,
         "num_layers": num_layers,
         "encoder_layers": encoder_layers,
         "operator_type": operator_type,
+        "filter_type": filter_type,
+        "spectral_layers": spectral_layers,
         "pos_embed": "pos_embed" in sd,
         "with_time_emb": "time_emb_mlp.1.weight" in sd,
         "use_mlp": use_mlp,
