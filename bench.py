@@ -119,7 +119,7 @@ def mkkey(i: int):
 def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
           merged_dhconv=False, params_dtype=None, preds_dtype=None,
           thresh=1.0, factorization="", rank=1.0, rank_pipeline=True,
-          spectral_io=""):
+          spectral_io="", fused_mlp=False, fused_tile=1024):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -143,7 +143,8 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         sht_fold_symmetry=fold, use_pallas=use_pallas,
         merged_dhconv=merged_dhconv, hard_thresholding_fraction=thresh,
         factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
-        spectral_io_dtype=spectral_io,
+        spectral_io_dtype=spectral_io, fused_mlp=fused_mlp,
+        fused_mlp_tile_rows=fused_tile,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -155,7 +156,8 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         use_pallas=use_pallas, merged_dhconv=merged_dhconv,
         hard_thresholding_fraction=thresh,
         factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
-        spectral_io_dtype=spectral_io,
+        spectral_io_dtype=spectral_io, fused_mlp=fused_mlp,
+        fused_mlp_tile_rows=fused_tile,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -591,6 +593,11 @@ def main():
     # (each GEMM rounds its inputs to bf16 anyway), halves the dominant
     # intermediate HBM traffic (results/roofline). Empty = f32 materialization.
     spectral_io = os.environ.get("BENCH_SPECTRAL_IO", "") or ""
+    # BENCH_FUSED_MLP=1: Pallas VMEM-resident fused block MLP (one kernel for
+    # GEMM+gelu+dropout+GEMM+outer-skip; removes the hidden tensor's 133 MB
+    # HBM round trip per layer-forward and the skip's read-modify-write)
+    fused_mlp = os.environ.get("BENCH_FUSED_MLP", "0") == "1"
+    fused_tile = int(os.environ.get("BENCH_FUSED_TILE", "1024"))
 
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         return train_bench(embed, layers, window)
@@ -608,7 +615,8 @@ def main():
     stepper, in_names, forcing_names = build(embed, layers, dtype, fold, use_pallas,
                                              merged, params_dtype, preds_dtype,
                                              thresh, factorization, rank,
-                                             rank_pipeline, spectral_io)
+                                             rank_pipeline, spectral_io,
+                                             fused_mlp, fused_tile)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 

@@ -82,6 +82,10 @@ def main(argv=None) -> dict:
                          "cost of the BENCH_FACT speed knob)")
     ap.add_argument("--rank", type=float, default=1.0,
                     help="factorization rank as a fraction of embed")
+    ap.add_argument("--spectral-io", default="",
+                    help="spectral-pipeline intermediate emission dtype "
+                         "(e.g. bfloat16 — quantifies the skill cost of the "
+                         "BENCH_SPECTRAL_IO speed knob)")
     args = ap.parse_args(argv)
 
     import jax
@@ -155,6 +159,7 @@ def main(argv=None) -> dict:
     os.makedirs(args.out, exist_ok=True)
     report = {"preset": args.preset, "params": P,
               "thresh": args.thresh, "factorization": args.factorization,
+              "spectral_io": args.spectral_io,
               "rank": args.rank}
     t_start = time.time()
 
@@ -170,6 +175,7 @@ def main(argv=None) -> dict:
         compute_dtype=args.dtype, sht_matmul_dtype=args.dtype,
         hard_thresholding_fraction=args.thresh,
         factorization=args.factorization, rank=args.rank,
+        spectral_io_dtype=args.spectral_io,
     ))
     interp = InterpolationExperiment(imodel, icfg, dm.in_packer, dm.out_packer,
                                      dm.normalizer)
@@ -255,6 +261,7 @@ def main(argv=None) -> dict:
         compute_dtype=args.dtype, sht_matmul_dtype=args.dtype,
         hard_thresholding_fraction=args.thresh,
         factorization=args.factorization, rank=args.rank,
+        spectral_io_dtype=args.spectral_io,
     ))
     fexp = DYffusionForecastingExperiment(
         fmodel, interp, ip_params, dcfg,

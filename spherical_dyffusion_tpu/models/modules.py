@@ -196,6 +196,7 @@ class MLP2d(nn.Module):
     dtype: Any = None  # compute dtype (params stay float32)
     exact_dropout: bool = False  # see QuantizedDropout.exact
     fused: bool = False
+    fused_tile_rows: int = 1024  # rows per Pallas block of the fused kernel
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
@@ -222,6 +223,7 @@ class MLP2d(nn.Module):
                 residual=residual, rng=rng,
                 drop_rate=self.drop_rate if drop_active else 0.0,
                 exact_gelu=self.activation == "gelu_exact",
+                tile_rows=self.fused_tile_rows,
                 interpret=interpret,
             )
         act = get_activation(self.activation)

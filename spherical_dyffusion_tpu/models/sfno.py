@@ -90,6 +90,8 @@ class SFNOConfig:
     # outer-skip read-modify-write. Inference-only (no AD rule; the trainer
     # keeps the standard path); incompatible with exact_dropout.
     fused_mlp: bool = False
+    # row-tile size of the fused kernel's grid (B*H*W rows per Pallas block)
+    fused_mlp_tile_rows: int = 1024
     dropout_mlp: float = 0.0
     dropout_filter: float = 0.0
     pos_emb_dropout: float = 0.0
@@ -555,6 +557,7 @@ class FNOBlock(nn.Module):
                 dtype=jnp.dtype(cfg.compute_dtype),
                 exact_dropout=cfg.exact_dropout,
                 fused=cfg.fused_mlp,
+                fused_tile_rows=cfg.fused_mlp_tile_rows,
                 name="mlp",
             )(x, deterministic=deterministic,
               residual=residual if fuse_res else None)
