@@ -348,6 +348,19 @@ def main(argv=None) -> dict:
     naive_eval = run_eval(naive_exp, fc_params, args.ensemble)
     report["cold_sampling"] = cold_eval
     report["naive_sampling"] = naive_eval
+    # calibration regression gate (round-4 verdict item #4): a well-calibrated
+    # ensemble has SSR ~ 1 at EVERY horizon (reference's paper-level claim;
+    # spread knobs = interpolator dropout rate x prediction_inputs_noise).
+    # The validated chaotic-system recipe lives in
+    # results/skill_chaotic_calibrated/README.md.
+    ssr_lo, ssr_hi = 0.8, 1.2
+    report["calibration"] = {
+        "ssr_bounds": [ssr_lo, ssr_hi],
+        "cold_ssr": {f"h{h}": cold_eval[f"h{h}/ssr"]
+                     for h in range(1, HORIZON + 1)},
+        "pass": all(ssr_lo <= cold_eval[f"h{h}/ssr"] <= ssr_hi
+                    for h in range(1, HORIZON + 1)),
+    }
     src = dm._val_src
     K = src._modes.shape[1]
     if hasattr(src, "conditional_forecast_std"):
