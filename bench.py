@@ -119,7 +119,8 @@ def mkkey(i: int):
 def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
           merged_dhconv=False, params_dtype=None, preds_dtype=None,
           thresh=1.0, factorization="", rank=1.0, rank_pipeline=True,
-          spectral_io="", fused_mlp=False, fused_tile=1024):
+          spectral_io="", fused_mlp=False, fused_tile=1024,
+          scan_layers=False):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -144,7 +145,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         merged_dhconv=merged_dhconv, hard_thresholding_fraction=thresh,
         factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
         spectral_io_dtype=spectral_io, fused_mlp=fused_mlp,
-        fused_mlp_tile_rows=fused_tile,
+        fused_mlp_tile_rows=fused_tile, scan_layers=scan_layers,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -157,7 +158,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         hard_thresholding_fraction=thresh,
         factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
         spectral_io_dtype=spectral_io, fused_mlp=fused_mlp,
-        fused_mlp_tile_rows=fused_tile,
+        fused_mlp_tile_rows=fused_tile, scan_layers=scan_layers,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics")
@@ -387,6 +388,7 @@ def train_bench(embed, layers, window):
         img_shape=(H, W), in_chans=2 * C + CF, out_chans=C, embed_dim=embed,
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         dropout_mlp=0.1, min_time=1, max_time=horizon - 1,
+        scan_layers=os.environ.get("BENCH_SCAN_LAYERS", "0") == "1",
     ))
     interp = InterpolationExperiment(imodel, icfg, dm.in_packer,
                                      dm.out_packer, dm.normalizer)
@@ -598,6 +600,10 @@ def main():
     # HBM round trip per layer-forward and the skip's read-modify-write)
     fused_mlp = os.environ.get("BENCH_FUSED_MLP", "0") == "1"
     fused_tile = int(os.environ.get("BENCH_FUSED_TILE", "1024"))
+    # BENCH_SCAN_LAYERS=1: compile the 6 homogeneous middle blocks as ONE
+    # lax.scan body with stacked params (compile-time/payload lever; runtime
+    # expected ~neutral — same math, weights read per iteration either way)
+    scan_layers = os.environ.get("BENCH_SCAN_LAYERS", "0") == "1"
 
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         return train_bench(embed, layers, window)
@@ -616,7 +622,8 @@ def main():
                                              merged, params_dtype, preds_dtype,
                                              thresh, factorization, rank,
                                              rank_pipeline, spectral_io,
-                                             fused_mlp, fused_tile)
+                                             fused_mlp, fused_tile,
+                                             scan_layers)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 

@@ -283,10 +283,14 @@ class DropPath(nn.Module):
     rate: float
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 rate: Optional[jax.Array] = None) -> jax.Array:
+        """``rate`` (a traced scalar) overrides the static attribute — used
+        by the scan-layers path where each scanned iteration carries its own
+        stochastic-depth rate as a lax.scan input."""
+        if deterministic or (rate is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = 1.0 - (self.rate if rate is None else rate)
         rng = self.make_rng("dropout")
         mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, mask_shape)

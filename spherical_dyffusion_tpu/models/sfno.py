@@ -92,6 +92,16 @@ class SFNOConfig:
     fused_mlp: bool = False
     # row-tile size of the fused kernel's grid (B*H*W rows per Pallas block)
     fused_mlp_tile_rows: int = 1024
+    # compile the homogeneous MIDDLE blocks (1..num_layers-2; first/last keep
+    # the data-grid transforms and stay unrolled) as ONE lax.scan body with
+    # stacked params: the compiled program carries one block body instead of
+    # num_layers-2, shrinking compile time and remote-compile payloads
+    # roughly linearly in depth. Param layout changes (block_1..block_{L-2}
+    # fold into blocks_mid/block with a leading layer axis);
+    # utils/params.py:{stack,unstack}_block_params convert existing
+    # checkpoints both ways. Per-layer stochastic-depth rates ride as scan
+    # inputs, so drop_path_rate > 0 is supported.
+    scan_layers: bool = False
     dropout_mlp: float = 0.0
     dropout_filter: float = 0.0
     pos_emb_dropout: float = 0.0
@@ -475,7 +485,10 @@ class FNOBlock(nn.Module):
         time_emb: Optional[jax.Array] = None,
         deterministic: bool = True,
         mats=None,
+        drop_path_rate: Optional[jax.Array] = None,
     ) -> jax.Array:
+        # drop_path_rate: traced per-layer stochastic-depth rate (scan-layers
+        # path); overrides the static self.drop_path when given
         cfg = self.cfg
         act = get_activation(cfg.activation_function)
 
@@ -547,7 +560,8 @@ class FNOBlock(nn.Module):
             # with the fused kernel and no live DropPath, the outer skip
             # (reference outer_skip="identity", sfnonet.py:330-335) is added
             # INSIDE the MLP kernel — saves a read-modify-write HBM pass
-            dp_active = self.drop_path > 0.0 and not deterministic
+            dp_active = ((self.drop_path > 0.0 or drop_path_rate is not None)
+                         and not deterministic)
             fuse_res = cfg.fused_mlp and not dp_active
             x = MLP2d(
                 hidden_features=int(cfg.embed_dim * cfg.mlp_ratio),
@@ -562,14 +576,58 @@ class FNOBlock(nn.Module):
             )(x, deterministic=deterministic,
               residual=residual if fuse_res else None)
             if dp_active:
-                x = DropPath(self.drop_path)(x, deterministic=deterministic)
+                x = DropPath(self.drop_path)(x, deterministic=deterministic,
+                                              rate=drop_path_rate)
             return x if fuse_res else x + residual
 
-        if self.drop_path > 0.0:
-            x = DropPath(self.drop_path)(x, deterministic=deterministic)
+        if self.drop_path > 0.0 or drop_path_rate is not None:
+            x = DropPath(self.drop_path)(x, deterministic=deterministic,
+                                         rate=drop_path_rate)
 
         # outer skip: identity on the filter residual (reference outer_skip="identity")
         return x + residual
+
+
+class _MidBlockStep(nn.Module):
+    """lax.scan body for one homogeneous middle block: (carry, _) ->
+    (carry', None). Params live under name 'block' so the stacked layout is
+    blocks_mid/block/<same subtree as an unrolled block_i>."""
+
+    cfg: SFNOConfig
+    forward_transform: Any
+    inverse_transform: Any
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, dp_rate):
+        x, t_repr, mats = carry
+        y = FNOBlock(
+            self.cfg,
+            self.forward_transform,
+            self.inverse_transform,
+            input_shape=self.cfg.model_shape,
+            output_shape=self.cfg.model_shape,
+            fwd_key="model",
+            inv_key="model",
+            name="block",
+        )(x, t_repr, self.deterministic, mats, drop_path_rate=dp_rate)
+        return (y, t_repr, mats), None
+
+
+def _scanned_mid_blocks(cfg, trans, itrans, deterministic, length):
+    """The num_layers-2 identical middle FNO blocks as ONE scan body with
+    stacked params under ``blocks_mid/block`` (see SFNOConfig.scan_layers).
+    t_repr/mats ride in the carry unchanged (loop-invariant; XLA hoists
+    their reads), so the traced body is exactly one block."""
+    step = _MidBlockStep
+    if cfg.checkpointing >= 3:
+        step = nn.remat(_MidBlockStep)
+    return nn.scan(
+        step,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        length=length,
+    )(cfg, trans, itrans, deterministic, name="blocks_mid")
 
 
 class SFNO(nn.Module):
@@ -665,9 +723,21 @@ class SFNO(nn.Module):
         drop_rates = [
             cfg.drop_path_rate * i / max(cfg.num_layers - 1, 1) for i in range(cfg.num_layers)
         ]
+        use_scan = cfg.scan_layers and cfg.num_layers >= 3
         for i in range(cfg.num_layers):
             first = i == 0
             last = i == cfg.num_layers - 1
+            if use_scan and not (first or last):
+                if i > 1:
+                    continue  # middle blocks all ride the single scan below
+                # per-layer stochastic-depth rates ride as scan inputs
+                # (None when globally disabled: no bernoulli in the body)
+                dp_xs = (jnp.asarray(drop_rates[1:-1], jnp.float32)
+                         if cfg.drop_path_rate > 0.0 else None)
+                scanned = _scanned_mid_blocks(
+                    cfg, trans, itrans, deterministic, cfg.num_layers - 2)
+                (x, _, _), _ = scanned((x, t_repr, mats), dp_xs)
+                continue
             block_cls = FNOBlock
             if cfg.checkpointing >= 3:
                 block_cls = nn.remat(FNOBlock, static_argnums=(3,))

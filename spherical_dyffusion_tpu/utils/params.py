@@ -28,6 +28,8 @@ __all__ = [
     "freeze_mask",
     "frozen_param_optimizer",
     "overwrite_weights",
+    "stack_block_params",
+    "unstack_block_params",
     "ParameterInitConfig",
     "apply_parameter_init",
 ]
@@ -119,3 +121,45 @@ def apply_parameter_init(params, cfg: ParameterInitConfig, load_fn=None):
         source = load_fn(cfg.weights_path)
         params = overwrite_weights(params, source, cfg.include, cfg.exclude)
     return params
+
+
+def _is_blockkeyed(d) -> bool:
+    return isinstance(d, dict) and any(k.startswith("block_") for k in d)
+
+
+def stack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert an unrolled SFNO param mapping (block_0..block_{L-1} keys) to
+    the ``scan_layers`` layout: the middle blocks 1..L-2 fold into
+    ``blocks_mid/block`` with leaves stacked on a new leading layer axis;
+    first/last blocks stay unrolled. Works on the inner 'params' mapping of
+    one network (the dict that holds the block_i keys); other keys pass
+    through untouched.
+    """
+    if not _is_blockkeyed(params):
+        raise ValueError("stack_block_params: no block_i keys found")
+    n = 1 + max(int(k.split("_")[1]) for k in params if k.startswith("block_"))
+    if n < 3:
+        raise ValueError(f"stack_block_params: need >=3 blocks, got {n}")
+    mid = [params[f"block_{i}"] for i in range(1, n - 1)]
+    out = {k: v for k, v in params.items()
+           if not (k.startswith("block_") and 0 < int(k.split("_")[1]) < n - 1)}
+    out["blocks_mid"] = {
+        "block": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *mid)
+    }
+    return out
+
+
+def unstack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`stack_block_params`: explode ``blocks_mid/block``
+    back into block_1..block_{L-2} subtrees (the unrolled layout)."""
+    if "blocks_mid" not in params:
+        raise ValueError("unstack_block_params: no blocks_mid key found")
+    stacked = params["blocks_mid"]["block"]
+    L_mid = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    n = 1 + max(int(k.split("_")[1]) for k in params if k.startswith("block_"))
+    assert n == L_mid + 2, (n, L_mid)  # block_0 and block_{L-1} present
+    out = {k: v for k, v in params.items() if k != "blocks_mid"}
+    for i in range(L_mid):
+        out[f"block_{i + 1}"] = jax.tree_util.tree_map(
+            lambda x, i=i: x[i], stacked)
+    return out

@@ -500,3 +500,90 @@ def test_spectral_io_exact_when_unset():
     y1 = np.asarray(model.apply(params, x))
     y2 = np.asarray(model.apply(params, x))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_scan_layers_matches_unrolled_and_converts():
+    """SFNOConfig.scan_layers compiles the homogeneous middle blocks as one
+    lax.scan body with stacked params. Same init rng must give a convertible
+    layout: stack_block_params(unrolled) == scan layout structure, with
+    forward outputs equal to reassociation noise; the converters roundtrip
+    exactly (checkpoint compatibility both ways)."""
+    from spherical_dyffusion_tpu.utils.params import (
+        stack_block_params,
+        unstack_block_params,
+    )
+
+    kw = dict(img_shape=(16, 32), in_chans=3, out_chans=3, embed_dim=8,
+              num_layers=4, mlp_ratio=2.0, with_time_emb=True)
+    un = SFNO(SFNOConfig(**kw))
+    sc = SFNO(SFNOConfig(**kw, scan_layers=True))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16, 32, 3)), jnp.float32)
+    t = jnp.asarray([1.0, 2.0])
+    v_un = un.init(jax.random.PRNGKey(0), x, time=t)
+    v_sc = sc.init(jax.random.PRNGKey(0), x, time=t)
+    p_conv = {**v_sc, "params": stack_block_params(dict(v_un["params"]))}
+    assert (jax.tree_util.tree_structure(v_sc["params"])
+            == jax.tree_util.tree_structure(p_conv["params"]))
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v_sc["params"])[0],
+            jax.tree_util.tree_flatten_with_path(p_conv["params"])[0]):
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+    y_un = un.apply(v_un, x, time=t)
+    y_sc = sc.apply(p_conv, x, time=t)
+    np.testing.assert_allclose(np.asarray(y_sc), np.asarray(y_un),
+                               rtol=0, atol=1e-6)
+    rt = unstack_block_params(stack_block_params(dict(v_un["params"])))
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v_un["params"])[0],
+            jax.tree_util.tree_flatten_with_path(rt)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_layers_dropout_and_grads():
+    """Under scan_layers, per-layer dropout rngs split (spread still fires)
+    and gradients flow into the stacked middle-block params."""
+    cfg = SFNOConfig(img_shape=(16, 32), in_chans=3, out_chans=3, embed_dim=8,
+                     num_layers=3, mlp_ratio=2.0, dropout_mlp=0.3,
+                     scan_layers=True)
+    model = SFNO(cfg)
+    x = jnp.ones((1, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y1 = model.apply(params, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    y2 = model.apply(params, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+    def loss(p):
+        return jnp.mean(model.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)["params"]
+    stacked = jax.tree_util.tree_leaves(g["blocks_mid"])
+    assert stacked and all(np.isfinite(np.asarray(l)).all() for l in stacked)
+    assert any(float(jnp.abs(l).max()) > 0 for l in stacked)
+
+
+def test_scan_layers_drop_path_rates_ride_scan_inputs():
+    """Per-layer stochastic-depth rates are lax.scan inputs: the scanned
+    model with drop_path_rate > 0 must (a) equal the unrolled model exactly
+    when deterministic, (b) actually drop branches stochastically when not."""
+    from spherical_dyffusion_tpu.utils.params import stack_block_params
+
+    kw = dict(img_shape=(16, 32), in_chans=3, out_chans=3, embed_dim=8,
+              num_layers=4, drop_path_rate=0.4)
+    un = SFNO(SFNOConfig(**kw))
+    sc = SFNO(SFNOConfig(**kw, scan_layers=True))
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, 16, 32, 3)), jnp.float32)
+    v_un = un.init(jax.random.PRNGKey(0), x)
+    v_sc = {**v_un, "params": stack_block_params(dict(v_un["params"]))}
+    y_un = un.apply(v_un, x)  # deterministic: drop-path inactive
+    y_sc = sc.apply(v_sc, x)
+    np.testing.assert_allclose(np.asarray(y_sc), np.asarray(y_un),
+                               rtol=0, atol=1e-6)
+    y1 = sc.apply(v_sc, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+    y2 = sc.apply(v_sc, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
