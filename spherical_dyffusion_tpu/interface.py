@@ -256,9 +256,14 @@ def _init_sfno_variables(model, img_shape, in_chans):
 
 
 def _merge_converted(template, converted_params):
+    from .utils.params import adapt_block_layout
+
     out = dict(template)
+    # converted torch weights are always unrolled (block_i); restack when the
+    # target model was built with scan_layers=True (and vice versa)
     out["params"] = serialization.from_state_dict(
-        template["params"], converted_params["params"]
+        template["params"],
+        adapt_block_layout(template["params"], converted_params["params"]),
     )
     return out
 
@@ -502,13 +507,20 @@ def _restore_params(exp, dm, state_dict):
     template = tr._init_params(jax.random.PRNGKey(0), dyn, batch)
     # constants were stripped at save; restore trainable leaves and keep the
     # freshly-built constants from the template
+    from .utils.params import adapt_block_layout
+
     if isinstance(template, dict) and "constants" in template:
         restored = dict(template)
+        src = state_dict.get("params", state_dict)
+        # checkpoints saved in the unrolled block_i layout load into a model
+        # built with scan_layers=True and vice versa (utils/params.py
+        # adapt_block_layout restacks the middle blocks either way)
         restored["params"] = serialization.from_state_dict(
-            template["params"], state_dict.get("params", state_dict)
+            template["params"], adapt_block_layout(template["params"], src)
         )
         return restored
-    return serialization.from_state_dict(template, state_dict)
+    return serialization.from_state_dict(
+        template, adapt_block_layout(template, state_dict))
 
 
 def load_ace_stepper_checkpoint(path: str, _preloaded=None):

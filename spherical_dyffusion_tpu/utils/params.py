@@ -28,6 +28,7 @@ __all__ = [
     "freeze_mask",
     "frozen_param_optimizer",
     "overwrite_weights",
+    "adapt_block_layout",
     "stack_block_params",
     "unstack_block_params",
     "ParameterInitConfig",
@@ -143,10 +144,33 @@ def stack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
     mid = [params[f"block_{i}"] for i in range(1, n - 1)]
     out = {k: v for k, v in params.items()
            if not (k.startswith("block_") and 0 < int(k.split("_")[1]) < n - 1)}
+    # host-side numpy stacking: at checkpoint-load time the leaves are numpy
+    # and an eager jnp.stack would round-trip every leaf through the (slow)
+    # TPU tunnel (CLAUDE.md iron rule 4)
     out["blocks_mid"] = {
-        "block": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *mid)
+        "block": jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs], 0), *mid)
     }
     return out
+
+
+def adapt_block_layout(template, source):
+    """Recursively convert ``source`` param subtrees between the unrolled
+    (``block_i``) and scanned (``blocks_mid/block``; SFNOConfig.scan_layers)
+    layouts wherever ``template`` uses the other one, so checkpoints saved in
+    either layout load into a model built with either setting. Subtrees whose
+    layouts already agree (and non-SFNO subtrees) pass through untouched."""
+    if not (isinstance(template, dict) and isinstance(source, dict)):
+        return source
+    t_mid, s_mid = "blocks_mid" in template, "blocks_mid" in source
+    if t_mid and not s_mid and _is_blockkeyed(source):
+        source = stack_block_params(source)
+    elif s_mid and not t_mid and _is_blockkeyed(template):
+        source = unstack_block_params(source)
+    return {
+        k: (adapt_block_layout(template[k], v) if k in template else v)
+        for k, v in source.items()
+    }
 
 
 def unstack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -159,6 +183,7 @@ def unstack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
     n = 1 + max(int(k.split("_")[1]) for k in params if k.startswith("block_"))
     assert n == L_mid + 2, (n, L_mid)  # block_0 and block_{L-1} present
     out = {k: v for k, v in params.items() if k != "blocks_mid"}
+    stacked = jax.tree_util.tree_map(np.asarray, stacked)  # one host pull
     for i in range(L_mid):
         out[f"block_{i + 1}"] = jax.tree_util.tree_map(
             lambda x, i=i: x[i], stacked)

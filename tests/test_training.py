@@ -167,6 +167,69 @@ def test_mid_training_last_ckpt_is_rebuildable(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_cross_layout_load(tmp_path):
+    """Checkpoints convert between the unrolled (block_i) and scanned
+    (scan_layers=True -> blocks_mid/block) param layouts at load time
+    (utils/params.py:adapt_block_layout wired into _restore_params), so a
+    model trained either way restores into a model built either way."""
+    from spherical_dyffusion_tpu.interface import (
+        get_datamodule,
+        get_experiment,
+        load_experiment_checkpoint,
+    )
+
+    def train_one(cfg, ckpt_dir):
+        dm2 = get_datamodule(cfg)
+        exp = get_experiment(cfg, dm2)
+        tr = Trainer(exp, dm2, TrainerConfig(epochs=1, steps_per_epoch=2,
+                                             warmup_steps=1,
+                                             ckpt_dir=str(ckpt_dir)),
+                     run_config=cfg)
+        tr.fit(verbose=False, val_every=100)
+        return jax.device_get(tr.state.params)["params"]
+
+    cfg = {
+        "experiment": "interpolation",
+        "datamodule": {"kind": "debug", "channels": 2, "height": 8, "width": 16,
+                       "horizon": 3, "n_forcing": 1, "batch_size": 4,
+                       "n_timesteps": 24},
+        "model": {"kind": "sfno", "embed_dim": 8, "num_layers": 3},
+    }
+    live_un = train_one(cfg, tmp_path / "un")
+
+    def paths_of(tree):
+        return {"/".join(str(getattr(p, "key", p)) for p in path)
+                for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    # unrolled checkpoint -> scan_layers model: stacked layout, same numbers
+    _, params_s, _, cfg_s = load_experiment_checkpoint(
+        str(tmp_path / "un" / "last.ckpt"),
+        overrides={"model": {"scan_layers": True}})
+    assert cfg_s["model"]["scan_layers"] is True
+    got = paths_of(params_s["params"])
+    assert any("blocks_mid" in p for p in got)
+    assert not any("block_1" in p for p in got)
+    from spherical_dyffusion_tpu.utils.params import adapt_block_layout
+    want = adapt_block_layout(params_s["params"], live_un)
+    for a, b in zip(jax.tree_util.tree_leaves(params_s["params"]),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # scan_layers checkpoint -> unrolled model: exploded layout, same numbers
+    cfg2 = dict(cfg, model=dict(cfg["model"], scan_layers=True))
+    live_sc = train_one(cfg2, tmp_path / "sc")
+    _, params_u, _, cfg_u = load_experiment_checkpoint(
+        str(tmp_path / "sc" / "last.ckpt"),
+        overrides={"model": {"scan_layers": False}})
+    got = paths_of(params_u["params"])
+    assert any("block_1" in p for p in got)
+    assert not any("blocks_mid" in p for p in got)
+    want = adapt_block_layout(params_u["params"], live_sc)
+    for a, b in zip(jax.tree_util.tree_leaves(params_u["params"]),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_rollout_validation_during_training(dm):
     """inference_val_every_n_epochs parity: DYffusion training runs a long
     autoregressive rollout eval and logs time-mean metrics."""
