@@ -120,7 +120,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
           merged_dhconv=False, params_dtype=None, preds_dtype=None,
           thresh=1.0, factorization="", rank=1.0, rank_pipeline=True,
           spectral_io="", fused_mlp=False, fused_tile=1024,
-          scan_layers=False):
+          scan_layers=False, peel=False):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -161,7 +161,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         fused_mlp_tile_rows=fused_tile, scan_layers=scan_layers,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
-                           time_encoding="dynamics")
+                           time_encoding="dynamics", peel_sampler=peel)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((1, H, W, C))
@@ -419,8 +419,10 @@ def train_bench(embed, layers, window):
                                              donate_state=True))
     st_i = time_steps(tr_i, interp, "interpolator")
 
-    dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
-                           time_encoding="dynamics")
+    dcfg = DYffusionConfig(
+        timesteps=horizon, forward_conditioning="none",
+        time_encoding="dynamics",
+        peel_sampler=os.environ.get("BENCH_PEEL", "0") == "1")
     fmodel = SFNO(SFNOConfig(
         img_shape=(H, W), in_chans=C + CF, out_chans=C, embed_dim=embed,
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
@@ -600,10 +602,17 @@ def main():
     # HBM round trip per layer-forward and the skip's read-modify-write)
     fused_mlp = os.environ.get("BENCH_FUSED_MLP", "0") == "1"
     fused_tile = int(os.environ.get("BENCH_FUSED_TILE", "1024"))
-    # BENCH_SCAN_LAYERS=1: compile the 6 homogeneous middle blocks as ONE
-    # lax.scan body with stacked params (compile-time/payload lever; runtime
-    # expected ~neutral — same math, weights read per iteration either way)
-    scan_layers = os.environ.get("BENCH_SCAN_LAYERS", "0") == "1"
+    # BENCH_SCAN_LAYERS: the 6 homogeneous middle blocks as ONE lax.scan
+    # body with stacked params (alone: -4% runtime but 9.4x faster cold
+    # compile). BENCH_PEEL: peel the s=0/s=N-1 sampling iterations out of the
+    # fused sampler scan, skipping the 2 masked interpolator halves (~11% of
+    # window network rows) at the cost of two extra compiled network bodies.
+    # DEFAULT ON TOGETHER (exact math, equivalence-tested): measured 1821.8
+    # vs 1718.5 sim-yr/day unrolled (+6.0%); peel WITHOUT scan_layers is the
+    # documented remote-compile hang (NOTES_ROUND3 "Peeled scan sampler").
+    # BENCH_SCAN_LAYERS=0 / BENCH_PEEL=0 revert.
+    scan_layers = os.environ.get("BENCH_SCAN_LAYERS", "1") == "1"
+    peel = os.environ.get("BENCH_PEEL", "1") == "1"
 
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         return train_bench(embed, layers, window)
@@ -623,7 +632,7 @@ def main():
                                              thresh, factorization, rank,
                                              rank_pipeline, spectral_io,
                                              fused_mlp, fused_tile,
-                                             scan_layers)
+                                             scan_layers, peel)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 

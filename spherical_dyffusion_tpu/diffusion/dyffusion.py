@@ -55,6 +55,13 @@ class DYffusionConfig:
     use_cold_sampling_for_last_step: bool = True
     use_cold_sampling_for_init_of_ar_step: Optional[bool] = None
     refine_intermediate_predictions: bool = False
+    # peel the s=0 / s=N-1 sampling iterations out of the fused scan: the two
+    # masked interpolator halves of the uniform body (~11% of the window's
+    # network rows) are never computed. Costs two extra compiled network
+    # bodies — pair with SFNOConfig.scan_layers to keep the remote-compile
+    # payload bounded (the unrolled+peeled program hangs the compile service;
+    # NOTES_ROUND3 "Peeled scan sampler").
+    peel_sampler: bool = False
     prediction_timesteps: Optional[Sequence[float]] = None
     enable_interpolator_dropout: Union[bool, str] = True
     interpolator_use_ema: bool = False
@@ -553,6 +560,11 @@ def sample_loop_scan(
         raise ValueError("config is not scan-compatible; use sample_loop")
     N = sched.num_timesteps
     B = initial_condition.shape[0]
+    if cfg.peel_sampler and N >= 3:
+        return _sample_loop_scan_peeled(
+            interpolate_fn, forecast_fn, cfg, sched, initial_condition, rng,
+            **cond_kwargs,
+        )
 
     def interp(x0, t_arr, key):
         return q_sample(
@@ -610,3 +622,114 @@ def sample_loop_scan(
                 p = p[..., 1:]
             preds[int(i_next)] = p
     return Intermediates(preds=preds, x_last=xhats[-1], ar_init=None)
+
+
+def _sample_loop_scan_peeled(
+    interpolate_fn: InterpolateFn,
+    forecast_fn: ForecastFn,
+    cfg: DYffusionConfig,
+    sched: DiffusionSchedule,
+    initial_condition: jax.Array,
+    rng: jax.Array,
+    **cond_kwargs: Any,
+) -> Intermediates:
+    """:func:`sample_loop_scan` with the s=0 and s=N-1 iterations peeled out
+    of the scan (``DYffusionConfig.peel_sampler``).
+
+    The uniform scan body computes a double-batch interpolation per iteration
+    and masks one half away at the first and last steps — 2 of the window's
+    2N interpolator rows (~11% of its network rows at N=6) are wasted. Here
+    the ends degenerate instead of masking:
+
+    * s=0: ``x_int_s == x_s``, so the cold update collapses to
+      ``x_1 = I(xhat_0, i(1))`` — one single-batch interpolation;
+    * s=N-1: ``x_int_next == xhat`` (no interpolation past the horizon), so
+      ``x_N = x_{N-1} + xhat - I(xhat, i(N-1))`` — one single-batch
+      interpolation;
+    * s=1..N-2 run the scan body with both halves live and no select lanes.
+
+    Same math as the reference loop (dyffusion.py:479-544) and as
+    :func:`sample_loop_scan` (equivalence-tested); the compiled program
+    carries three network subgraph shapes instead of one, which is only
+    tractable through the remote-compile tunnel with scanned block bodies
+    (``SFNOConfig.scan_layers``)."""
+    N = sched.num_timesteps
+    B = initial_condition.shape[0]
+    keys = jax.random.split(rng, 2 * N)
+    fkeys, ikeys = keys[:N], keys[N:]
+
+    def interp1(xhat, i_t, key):
+        # direct interpolator application at a genuine time in (0, horizon) —
+        # the same call shape as the scan body's pair (q_sample's t==0 guard
+        # is unnecessary: i(1) > 0 and i(N-1) > 0 by construction)
+        t_arr = jnp.full((B,), float(i_t), jnp.float32)
+        return interpolate_fn(initial_condition, xhat, t_arr, key, **cond_kwargs)
+
+    # s = 0
+    xhat0 = predict_x_last(
+        forecast_fn, cfg, sched, initial_condition, initial_condition,
+        jnp.zeros((B,), jnp.float32), fkeys[0], **cond_kwargs
+    )
+    x1 = interp1(xhat0, sched.d_to_i(1), ikeys[0])
+
+    # s = 1 .. N-2: uniform cold updates
+    def body(x_s, s_key):
+        s, fkey, ikey = s_key
+        t = jnp.full((B,), s, jnp.float32)
+        xhat = predict_x_last(
+            forecast_fn, cfg, sched, initial_condition, x_s, t, fkey,
+            **cond_kwargs
+        )
+        sf = s.astype(jnp.float32)
+        i_next = sched.d_to_i(sf + 1.0)
+        i_s = sched.d_to_i(sf)
+        t_pair = jnp.concatenate([jnp.full((B,), i_next), jnp.full((B,), i_s)])
+        ic2 = jnp.concatenate([initial_condition, initial_condition])
+        cond2 = {
+            k: (jnp.concatenate([v, v]) if hasattr(v, "shape") else v)
+            for k, v in cond_kwargs.items()
+        }
+        pair = interpolate_fn(ic2, jnp.concatenate([xhat, xhat]), t_pair,
+                              ikey, **cond2)
+        x_next = x_s + pair[:B] - pair[B:]
+        return x_next, x_next
+
+    carry = x1
+    states_mid = None
+    if N > 3:
+        steps = jnp.arange(1, N - 1)
+        carry, states_mid = jax.lax.scan(
+            body, x1, (steps, fkeys[1 : N - 1], ikeys[1 : N - 1])
+        )
+    elif N == 3:
+        # a length-1 scan would still compile the body; run it inline
+        carry, x2 = body(x1, (jnp.asarray(1), fkeys[1], ikeys[1]))
+        states_mid = x2[None]
+
+    # s = N-1
+    xhat_l = predict_x_last(
+        forecast_fn, cfg, sched, initial_condition, carry,
+        jnp.full((B,), N - 1, jnp.float32), fkeys[N - 1], **cond_kwargs
+    )
+    xhat_state = (
+        _hack_prepend(initial_condition, xhat_l)
+        if cfg.hack_for_imprecise_interpolation else xhat_l
+    )
+    x_last_state = carry + xhat_state - interp1(
+        xhat_l, sched.d_to_i(N - 1), ikeys[N - 1]
+    )
+
+    preds: Dict[int, jax.Array] = {}
+    for s in range(N):
+        i_next = sched.d_to_i(s + 1) if s < N - 1 else float(cfg.timesteps)
+        if float(i_next).is_integer():
+            if s == 0:
+                p = x1
+            elif s == N - 1:
+                p = x_last_state
+            else:
+                p = states_mid[s - 1]
+            if cfg.hack_for_imprecise_interpolation:
+                p = p[..., 1:]
+            preds[int(i_next)] = p
+    return Intermediates(preds=preds, x_last=xhat_l, ar_init=None)

@@ -17,6 +17,7 @@ __all__ = ["resolve_checkpoint_path", "download_from_hf", "find_checkpoint_in_di
             "S3Client", "CheckpointMirror"]
 
 HF_PREFIX = "hf:"
+WANDB_PREFIX = "wandb:"
 DEFAULT_CACHE = os.path.expanduser("~/.cache/spherical_dyffusion_tpu")
 
 
@@ -27,11 +28,25 @@ def resolve_checkpoint_path(path: str, cache_dir: Optional[str] = None) -> str:
       * plain local paths,
       * ``hf:org/repo/filename.ckpt`` -> HuggingFace Hub download
         (reference checkpointing.py:99-154),
+      * ``wandb:entity/project/run_id[:best|last|EPOCH]`` -> cloud restore via
+        the native wandb client (reference wandb_api.py:246-311; endpoint from
+        ``WANDB_BASE_URL``, key from ``WANDB_API_KEY``),
       * directories -> newest ``*.ckpt`` inside (wandb-run-dir style search,
         checkpointing.py:22-98).
     """
     if path.startswith(HF_PREFIX):
         return download_from_hf(path[len(HF_PREFIX):], cache_dir=cache_dir)
+    if path.startswith(WANDB_PREFIX):
+        from .wandb_client import restore_checkpoint_from_wandb
+
+        spec = path[len(WANDB_PREFIX):]
+        run_path, _, epoch = spec.partition(":")
+        if epoch.isdigit():
+            epoch = int(epoch)
+        dest = cache_dir or os.path.join(DEFAULT_CACHE, "wandb")
+        os.makedirs(dest, exist_ok=True)
+        return restore_checkpoint_from_wandb(run_path, dest_dir=dest,
+                                             epoch=epoch or "best")
     if os.path.isdir(path):
         found = find_checkpoint_in_dir(path)
         if found is None:

@@ -1,0 +1,275 @@
+"""Native wandb cloud client: GraphQL over urllib, no SDK dependency.
+
+The cloud half of the reference's experiment-tracking plumbing
+(src/utilities/wandb_api.py): querying runs by filters, reading run configs
+and summaries, listing run files, and restoring checkpoints from the cloud
+(restore_model_from_wandb_cloud, wandb_api.py:246-311; ckpt-name selection
+get_wandb_ckpt_name, :198-244; config reload load_hydra_config_from_wandb,
+:311-427). The reference drives the wandb SDK; here the same wire protocol —
+``POST {base}/graphql`` with Basic ``api:<key>`` auth, JSON-string config /
+summary payloads, MongoDB-style run filters, per-file direct download URLs —
+is spoken directly over urllib, so the client also works against any
+endpoint implementing it. ``WANDB_BASE_URL`` overrides the endpoint, which
+makes the whole leg loopback-testable with zero egress
+(tests/test_wandb_client.py), the same pattern as the native S3 client
+(utils/s3.py).
+
+Offline runs (this repo's JSONL logger) are queried through the sibling
+:mod:`.runs_api`; this module is only for runs that live on a wandb-protocol
+server.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import urllib.error
+import urllib.request
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+__all__ = [
+    "WandbClient",
+    "get_wandb_ckpt_name",
+    "restore_checkpoint_from_wandb",
+    "load_config_from_wandb",
+]
+
+DEFAULT_BASE_URL = "https://api.wandb.ai"
+
+_RUN_FIELDS = """
+  id
+  name
+  displayName
+  state
+  config
+  summaryMetrics
+"""
+
+_RUN_QUERY = """
+query Run($entity: String!, $project: String!, $name: String!) {
+  project(name: $project, entityName: $entity) {
+    run(name: $name) { %s }
+  }
+}
+""" % _RUN_FIELDS
+
+_RUNS_QUERY = """
+query Runs($entity: String!, $project: String!, $filters: JSONString, $first: Int) {
+  project(name: $project, entityName: $entity) {
+    runs(filters: $filters, first: $first) {
+      edges { node { %s } }
+    }
+  }
+}
+""" % _RUN_FIELDS
+
+_FILES_QUERY = """
+query RunFiles($entity: String!, $project: String!, $name: String!, $names: [String]) {
+  project(name: $project, entityName: $entity) {
+    run(name: $name) {
+      files(names: $names) {
+        edges { node { name md5 sizeBytes directUrl } }
+      }
+    }
+  }
+}
+"""
+
+_HISTORY_QUERY = """
+query RunHistory($entity: String!, $project: String!, $name: String!, $samples: Int) {
+  project(name: $project, entityName: $entity) {
+    run(name: $name) { history(samples: $samples) }
+  }
+}
+"""
+
+
+def _split_run_path(run_path: str):
+    parts = run_path.split("/")
+    if len(parts) != 3:
+        raise ValueError(f"run_path must be ENTITY/PROJECT/RUN_ID, got {run_path!r}")
+    return parts[0], parts[1], parts[2]
+
+
+class WandbClient:
+    """Minimal wandb-protocol API client (query + file restore)."""
+
+    def __init__(self, base_url: Optional[str] = None,
+                 api_key: Optional[str] = None, timeout: float = 30.0):
+        self.base_url = (base_url or os.environ.get("WANDB_BASE_URL")
+                         or DEFAULT_BASE_URL).rstrip("/")
+        self.api_key = api_key or os.environ.get("WANDB_API_KEY", "")
+        self.timeout = timeout
+
+    # -- transport ---------------------------------------------------------
+    def _auth_header(self) -> Dict[str, str]:
+        if not self.api_key:
+            return {}
+        import base64
+
+        tok = base64.b64encode(f"api:{self.api_key}".encode()).decode()
+        return {"Authorization": f"Basic {tok}"}
+
+    def graphql(self, query: str, variables: Dict[str, Any]) -> Dict[str, Any]:
+        body = json.dumps({"query": query, "variables": variables}).encode()
+        req = urllib.request.Request(
+            f"{self.base_url}/graphql", data=body, method="POST",
+            headers={"Content-Type": "application/json", **self._auth_header()},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            payload = json.loads(r.read().decode())
+        if payload.get("errors"):
+            raise RuntimeError(f"wandb graphql error: {payload['errors']}")
+        return payload["data"]
+
+    # -- queries -----------------------------------------------------------
+    def run(self, run_path: str) -> Dict[str, Any]:
+        """Fetch one run node (config/summary decoded from their JSON-string
+        wire form, the shape the wandb backend uses)."""
+        entity, project, name = _split_run_path(run_path)
+        data = self.graphql(_RUN_QUERY, {"entity": entity, "project": project,
+                                         "name": name})
+        node = (data.get("project") or {}).get("run")
+        if node is None:
+            raise KeyError(f"run not found: {run_path}")
+        return _decode_run(node)
+
+    def runs(self, entity: str, project: str,
+             filters: Optional[Dict[str, Any]] = None,
+             first: int = 50) -> List[Dict[str, Any]]:
+        """Query project runs with MongoDB-style ``filters`` (the reference
+        passes e.g. ``{"$and": [{"state": "finished"}]}``, wandb_api.py:85-150)."""
+        data = self.graphql(_RUNS_QUERY, {
+            "entity": entity, "project": project,
+            "filters": json.dumps(filters) if filters else None, "first": first,
+        })
+        edges = (((data.get("project") or {}).get("runs") or {}).get("edges")) or []
+        return [_decode_run(e["node"]) for e in edges]
+
+    def run_files(self, run_path: str,
+                  names: Optional[Sequence[str]] = None) -> List[Dict[str, Any]]:
+        entity, project, name = _split_run_path(run_path)
+        data = self.graphql(_FILES_QUERY, {
+            "entity": entity, "project": project, "name": name,
+            "names": list(names) if names else None,
+        })
+        run = (data.get("project") or {}).get("run") or {}
+        edges = ((run.get("files") or {}).get("edges")) or []
+        return [e["node"] for e in edges]
+
+    def history(self, run_path: str, samples: int = 500) -> List[Dict[str, Any]]:
+        """Sampled metric history: the wire form is a list of JSON-encoded
+        row strings (how the wandb backend ships history)."""
+        entity, project, name = _split_run_path(run_path)
+        data = self.graphql(_HISTORY_QUERY, {
+            "entity": entity, "project": project, "name": name,
+            "samples": samples,
+        })
+        rows = ((data.get("project") or {}).get("run") or {}).get("history") or []
+        return [json.loads(r) if isinstance(r, str) else r for r in rows]
+
+    def download_file(self, run_path: str, filename: str, dest: str) -> str:
+        """Download one run file via its directUrl to ``dest``."""
+        files = self.run_files(run_path, names=[filename])
+        match = [f for f in files if f["name"] == filename]
+        if not match:
+            raise FileNotFoundError(f"{filename} not in run {run_path}")
+        url = match[0]["directUrl"]
+        req = urllib.request.Request(url, headers=self._auth_header())
+        os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
+        with urllib.request.urlopen(req, timeout=self.timeout) as r, \
+                open(dest, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        return dest
+
+
+def _decode_run(node: Dict[str, Any]) -> Dict[str, Any]:
+    out = dict(node)
+    for key in ("config", "summaryMetrics"):
+        v = out.get(key)
+        if isinstance(v, str):
+            out[key] = json.loads(v) if v else {}
+    return out
+
+
+# -- reference-parity helpers ------------------------------------------------
+
+
+def get_wandb_ckpt_name(client: WandbClient, run_path: str,
+                        epoch: Union[str, int] = "best") -> str:
+    """Select the checkpoint filename for a run: ``best``/``last`` prefer the
+    literal best.ckpt/last.ckpt, otherwise fall back to epochNNN parsing —
+    the reference's exact selection ladder (wandb_api.py:198-244)."""
+    if epoch not in ("best", "last") and not isinstance(epoch, int):
+        raise ValueError(f"epoch must be 'best', 'last' or an int, got {epoch!r}")
+    ckpt_files = [f["name"] for f in client.run_files(run_path)
+                  if f["name"].endswith(".ckpt")]
+    if epoch == "best":
+        if "best.ckpt" in ckpt_files:
+            return "best.ckpt"
+        raise ValueError(f"Could not find best.ckpt in {ckpt_files}")
+    if epoch == "last" and "last.ckpt" in ckpt_files:
+        return "last.ckpt"
+    if not ckpt_files:
+        raise ValueError(f"run {run_path} has no .ckpt files in the cloud")
+    if len(ckpt_files) >= 2:
+        epochs = [int(re.sub(r"\D", "", name.split(".")[0]) or -1)
+                  for name in ckpt_files]
+        if epoch == "last":
+            target = max(epochs)
+        else:
+            target = int(epoch)
+            if target not in epochs:
+                raise ValueError(f"no ckpt for epoch={epoch}; have {epochs}")
+        return ckpt_files[epochs.index(target)]
+    return ckpt_files[0]
+
+
+def restore_checkpoint_from_wandb(
+    run_path: str,
+    dest_dir: Optional[str] = None,
+    ckpt_filename: Optional[str] = None,
+    epoch: Union[str, int] = "best",
+    client: Optional[WandbClient] = None,
+) -> str:
+    """Restore a run's checkpoint to the local filesystem
+    (restore_model_from_wandb_cloud, wandb_api.py:246-311): resolve the
+    filename (unless given), download, and prefix the local name with the
+    run id to avoid cross-run collisions — the reference's rename step."""
+    client = client or WandbClient()
+    dest_dir = dest_dir or os.getcwd()
+    if ckpt_filename is None:
+        ckpt_filename = get_wandb_ckpt_name(client, run_path, epoch=epoch)
+        ckpt_filename = ckpt_filename.split("/")[-1]
+    run_id = _split_run_path(run_path)[2]
+    local_name = ckpt_filename if run_id in ckpt_filename \
+        else f"{run_id}-{ckpt_filename}"
+    dest = os.path.join(dest_dir, local_name)
+    if os.path.exists(dest):
+        return dest
+    return client.download_file(run_path, ckpt_filename, dest)
+
+
+def load_config_from_wandb(
+    run_path: str,
+    overrides: Optional[Dict[str, Any]] = None,
+    client: Optional[WandbClient] = None,
+) -> Dict[str, Any]:
+    """Reload a run's training config from the cloud with local overrides
+    deep-merged on top (load_hydra_config_from_wandb, wandb_api.py:311-427).
+    The wandb wire config wraps every top-level entry as ``{"value": ...}``
+    (plus ``_wandb`` bookkeeping) — unwrap to the plain mapping."""
+    from .config import deep_update
+
+    client = client or WandbClient()
+    raw = client.run(run_path)["config"]
+    cfg = {k: (v["value"] if isinstance(v, dict) and set(v) == {"value"} else v)
+           for k, v in raw.items() if k != "_wandb"}
+    if overrides:
+        cfg = deep_update(cfg, dict(overrides))
+    return cfg

@@ -218,6 +218,105 @@ def test_scan_sampler_with_artificial_steps():
         )
 
 
+def test_peeled_sampler_matches_unrolled_in_exact_world():
+    """peel_sampler computes the s=0 / s=N-1 iterations as degenerate
+    single-batch updates instead of masked double-batch lanes; results must
+    match the unrolled reference loop."""
+    from spherical_dyffusion_tpu.diffusion import sample_loop_scan, scan_compatible
+
+    horizon = 6
+    cfg, sched = make({"peel_sampler": True}, timesteps=horizon)
+    assert scan_compatible(cfg, sched)
+    x0, v, x_last, interpolate_fn, forecast_fn = _exact_world(horizon)
+    out_a = sample_loop(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    out_b = sample_loop_scan(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    assert set(out_a.preds) == set(out_b.preds)
+    for h in out_a.preds:
+        np.testing.assert_allclose(
+            np.asarray(out_a.preds[h]), np.asarray(out_b.preds[h]), atol=1e-4, err_msg=str(h)
+        )
+    np.testing.assert_allclose(np.asarray(out_a.x_last), np.asarray(out_b.x_last), atol=1e-4)
+
+
+def test_peeled_sampler_interpolator_row_budget():
+    """The peel exists to skip the two wasted interpolator rows: count rows
+    actually fed through the interpolator per EXECUTION (io_callback fires on
+    every scan iteration, unlike a Python-side trace hook) — exactly 2N-2
+    batches of B, versus the uniform scan sampler's 2N."""
+    from jax.experimental import io_callback
+
+    from spherical_dyffusion_tpu.diffusion import sample_loop_scan
+
+    horizon = 6
+    x0, v, x_last, interpolate_fn, forecast_fn = _exact_world(horizon)
+    B = x0.shape[0]
+
+    def run(peel):
+        cfg, sched = make({"peel_sampler": peel}, timesteps=horizon)
+        counter = {"rows": 0}
+
+        def record(n):
+            counter["rows"] += int(n)
+            return np.int32(0)
+
+        def counting_interp(x_end, xl, t, rng_key, **kw):
+            io_callback(record, jax.ShapeDtypeStruct((), jnp.int32),
+                        jnp.asarray(x_end.shape[0], jnp.int32), ordered=True)
+            return interpolate_fn(x_end, xl, t, rng_key, **kw)
+
+        out = sample_loop_scan(counting_interp, forecast_fn, cfg, sched, x0,
+                               jax.random.PRNGKey(0))
+        jax.block_until_ready(out.x_last)
+        return counter["rows"]
+
+    assert run(False) == 2 * horizon * B
+    assert run(True) == (2 * horizon - 2) * B
+
+
+def test_peeled_sampler_matches_with_fractional_times_and_hack():
+    """Peel must preserve fractional interpolation times (k > 0) and the
+    hack channel shims."""
+    from spherical_dyffusion_tpu.diffusion import sample_loop_scan, scan_compatible
+
+    horizon, k = 4, 2
+    cfg, sched = make({"additional_interpolation_steps": k,
+                       "peel_sampler": True}, timesteps=horizon)
+    assert scan_compatible(cfg, sched)
+    x0, interpolate_fn, forecast_fn = _nonlinear_world(horizon)
+    out_a = sample_loop(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    out_b = sample_loop_scan(interpolate_fn, forecast_fn, cfg, sched, x0, jax.random.PRNGKey(0))
+    assert set(out_a.preds) == set(out_b.preds)
+    for h in out_a.preds:
+        np.testing.assert_allclose(
+            np.asarray(out_a.preds[h]), np.asarray(out_b.preds[h]), atol=1e-4, err_msg=str(h)
+        )
+    np.testing.assert_allclose(np.asarray(out_a.x_last), np.asarray(out_b.x_last), atol=1e-4)
+
+    # hack shim: channel counts come back in forecaster channels
+    cfg2, sched2 = make({"hack_for_imprecise_interpolation": True,
+                         "peel_sampler": True}, timesteps=3)
+    B, H, W, C = 2, 4, 4, 5
+    rngn = np.random.default_rng(0)
+    xh = jnp.asarray(rngn.standard_normal((B, H, W, C)), jnp.float32)
+
+    def interp_hack(x_end, xl, t, rng_key, **kw):
+        xl_full = jnp.concatenate([x_end[..., :1], xl], axis=-1)
+        w = (t / 3.0).reshape((-1, 1, 1, 1))
+        return x_end + (xl_full - x_end) * w
+
+    def fc_hack(x_t, time, condition, static_condition=None):
+        return x_t[..., 1:] * 0.9
+
+    out_h = sample_loop_scan(interp_hack, fc_hack, cfg2, sched2, xh,
+                             jax.random.PRNGKey(0))
+    out_r = sample_loop(interp_hack, fc_hack, cfg2, sched2, xh,
+                        jax.random.PRNGKey(0))
+    for h in out_r.preds:
+        assert out_h.preds[h].shape[-1] == C - 1
+        np.testing.assert_allclose(np.asarray(out_h.preds[h]),
+                                   np.asarray(out_r.preds[h]), atol=1e-4)
+
+
 def _nonlinear_world(horizon, shape=(2, 4, 4, 3)):
     """A world whose interpolator is NONLINEAR in t, so any silent clamping of
     fractional interpolation times (the k > 0 artificial steps) changes the
