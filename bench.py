@@ -384,11 +384,16 @@ def train_bench(embed, layers, window):
                          n_timesteps=horizon + 18)
     icfg = ExperimentConfig(horizon=horizon, window=1,
                             enable_inference_dropout=True)
+    # BENCH_SCAN_LAYERS=1 scans the middle blocks; at paper scale the fused
+    # epoch's backward then needs remat (BENCH_CKPT=3) — without it the scan
+    # backward's stacked residuals overflow HBM (measured: program 12.1G +
+    # args 4.6G > 15.75G)
     imodel = SFNO(SFNOConfig(
         img_shape=(H, W), in_chans=2 * C + CF, out_chans=C, embed_dim=embed,
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         dropout_mlp=0.1, min_time=1, max_time=horizon - 1,
         scan_layers=os.environ.get("BENCH_SCAN_LAYERS", "0") == "1",
+        checkpointing=int(os.environ.get("BENCH_CKPT", "0")),
     ))
     interp = InterpolationExperiment(imodel, icfg, dm.in_packer,
                                      dm.out_packer, dm.normalizer)
@@ -427,6 +432,8 @@ def train_bench(embed, layers, window):
         img_shape=(H, W), in_chans=C + CF, out_chans=C, embed_dim=embed,
         num_layers=layers, operator_type="dhconv", with_time_emb=True,
         min_time=0, max_time=horizon - 1,
+        scan_layers=os.environ.get("BENCH_SCAN_LAYERS", "0") == "1",
+        checkpointing=int(os.environ.get("BENCH_CKPT", "0")),
     ))
     # keep the frozen interpolator tree ON DEVICE: host numpy aux_params
     # would re-upload ~100MB through the tunnel at every step

@@ -494,6 +494,7 @@ class Trainer:
         for epoch in range(epochs):
             t0 = time.time()
             losses = []
+            pending_logs = []
             for batch in self.dm.train_batches(seed=cfg.seed + epoch):
                 rng, sub = jax.random.split(rng)
                 dyn = shard_batch(self.mesh, batch["dynamics"])
@@ -511,13 +512,21 @@ class Trainer:
                 # points and at epoch end
                 losses.append(metrics["loss"])
                 if logger is not None and step % cfg.log_every == 0:
-                    logger.log(
-                        {"train/loss": float(metrics["loss"]),
-                         "train/grad_norm": float(metrics.get("grad_norm", 0.0))},
-                        step=step,
-                    )
+                    # defer host conversion too: float() at the log point
+                    # would sync the dispatch pipeline mid-epoch (~0.5-1s
+                    # tunnel overhead per log point); the device values are
+                    # flushed below together with the epoch's loss list,
+                    # keyed by their true step numbers
+                    pending_logs.append(
+                        (step, metrics["loss"], metrics.get("grad_norm")))
                 step += 1
             losses = [float(x) for x in losses]
+            for s_, l_, g_ in pending_logs:
+                logger.log(
+                    {"train/loss": float(l_),
+                     "train/grad_norm": float(g_) if g_ is not None else 0.0},
+                    step=s_,
+                )
             epoch_s = time.time() - t0
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             history["train_loss"].append(mean_loss)
