@@ -44,29 +44,52 @@ class JsonlLogger:
 
 
 class WandbLogger:
-    """Thin optional wandb mirror (no-op if wandb is unavailable)."""
+    """wandb mirror: prefers the SDK when installed, otherwise speaks the
+    wire protocol directly through the native client
+    (utils/wandb_client.py:NativeWandbRun) whenever ``WANDB_BASE_URL`` names
+    an endpoint. No-op when neither is available — training never requires
+    network access."""
 
-    def __init__(self, project: str, name: Optional[str] = None, **kwargs):
+    def __init__(self, project: str, name: Optional[str] = None,
+                 entity: Optional[str] = None, **kwargs):
+        self._run = None
+        self._wandb = None
+        self._native = None
         try:
             import wandb  # noqa
 
             self._run = wandb.init(project=project, name=name, **kwargs)
             self._wandb = wandb
+            return
         except Exception:
-            self._run = None
-            self._wandb = None
+            pass
+        if os.environ.get("WANDB_BASE_URL"):
+            try:
+                from .wandb_client import NativeWandbRun
+
+                self._native = NativeWandbRun(
+                    entity or os.environ.get("WANDB_ENTITY", "local"),
+                    project, name or "run")
+            except Exception as e:
+                print(f"[wandb-mirror] native run init failed (disabled): {e}")
 
     def log_hyperparams(self, config: Dict[str, Any]):
         if self._run is not None:
             self._run.config.update(config, allow_val_change=True)
+        elif self._native is not None:
+            self._native.update_config(config)
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
         if self._run is not None:
             self._wandb.log(metrics, step=step)
+        elif self._native is not None:
+            self._native.log(metrics, step=step)
 
     def finish(self):
         if self._run is not None:
             self._run.finish()
+        elif self._native is not None:
+            self._native.finish()
 
 
 class MultiLogger:

@@ -30,6 +30,7 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 
 __all__ = [
     "WandbClient",
+    "NativeWandbRun",
     "get_wandb_ckpt_name",
     "restore_checkpoint_from_wandb",
     "load_config_from_wandb",
@@ -80,6 +81,18 @@ _HISTORY_QUERY = """
 query RunHistory($entity: String!, $project: String!, $name: String!, $samples: Int) {
   project(name: $project, entityName: $entity) {
     run(name: $name) { history(samples: $samples) }
+  }
+}
+"""
+
+# run creation/update — the mutation the wandb SDK issues at wandb.init()
+_UPSERT_RUN_MUTATION = """
+mutation UpsertBucket($entity: String, $project: String, $name: String,
+                      $displayName: String, $config: JSONString) {
+  upsertBucket(input: {entityName: $entity, modelName: $project,
+                       name: $name, displayName: $displayName,
+                       config: $config}) {
+    bucket { id name displayName }
   }
 }
 """
@@ -169,6 +182,40 @@ class WandbClient:
         rows = ((data.get("project") or {}).get("run") or {}).get("history") or []
         return [json.loads(r) if isinstance(r, str) else r for r in rows]
 
+    # -- writes (the ingestion half of the protocol) -------------------------
+    def upsert_run(self, entity: str, project: str, name: str,
+                   display_name: Optional[str] = None,
+                   config: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Create or update a run — the ``upsertBucket`` mutation the wandb
+        SDK issues at ``wandb.init()``; config ships in the backend's
+        ``{key: {value: ...}}`` envelope form."""
+        wrapped = {k: {"value": v} for k, v in (config or {}).items()}
+        data = self.graphql(_UPSERT_RUN_MUTATION, {
+            "entity": entity, "project": project, "name": name,
+            "displayName": display_name or name,
+            "config": json.dumps(wrapped),
+        })
+        return data["upsertBucket"]["bucket"]
+
+    def log_history(self, run_path: str, rows: Sequence[Dict[str, Any]],
+                    offset: int = 0) -> int:
+        """Append metric rows to a run's history through the file-stream
+        endpoint (``POST /files/{entity}/{project}/{run}/file_stream`` with
+        JSONL lines under ``wandb-history.jsonl`` — the SDK's metric-upload
+        wire format). Returns the next offset."""
+        entity, project, name = _split_run_path(run_path)
+        lines = [json.dumps(r) for r in rows]
+        body = json.dumps({"files": {"wandb-history.jsonl": {
+            "offset": offset, "content": lines}}}).encode()
+        req = urllib.request.Request(
+            f"{self.base_url}/files/{entity}/{project}/{name}/file_stream",
+            data=body, method="POST",
+            headers={"Content-Type": "application/json", **self._auth_header()},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            r.read()
+        return offset + len(lines)
+
     def download_file(self, run_path: str, filename: str, dest: str) -> str:
         """Download one run file via its directUrl to ``dest``."""
         files = self.run_files(run_path, names=[filename])
@@ -186,6 +233,48 @@ class WandbClient:
                     break
                 f.write(chunk)
         return dest
+
+
+class NativeWandbRun:
+    """A live run backed by the native client: the logger-facing subset of
+    the SDK's ``wandb.Run`` (init/config/log/finish), buffered so one
+    file-stream POST carries many metric rows.
+
+    Used by :class:`~.loggers.WandbLogger` as the SDK-free mirror when
+    ``WANDB_BASE_URL``/``WANDB_API_KEY`` point at a wandb-protocol server."""
+
+    def __init__(self, entity: str, project: str, name: str,
+                 client: Optional[WandbClient] = None,
+                 config: Optional[Dict[str, Any]] = None,
+                 flush_every: int = 32):
+        self.client = client or WandbClient()
+        self.entity, self.project, self.name = entity, project, name
+        self.run_path = f"{entity}/{project}/{name}"
+        self.flush_every = flush_every
+        self._buffer: List[Dict[str, Any]] = []
+        self._offset = 0
+        self.client.upsert_run(entity, project, name, config=config or {})
+
+    def update_config(self, config: Dict[str, Any]):
+        self.client.upsert_run(self.entity, self.project, self.name,
+                               config=config)
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        row = dict(metrics)
+        if step is not None:
+            row["_step"] = step
+        self._buffer.append(row)
+        if len(self._buffer) >= self.flush_every:
+            self.flush()
+
+    def flush(self):
+        if self._buffer:
+            self._offset = self.client.log_history(
+                self.run_path, self._buffer, offset=self._offset)
+            self._buffer = []
+
+    def finish(self):
+        self.flush()
 
 
 def _decode_run(node: Dict[str, Any]) -> Dict[str, Any]:

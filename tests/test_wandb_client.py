@@ -75,13 +75,28 @@ class _Handler(http.server.BaseHTTPRequestHandler):
         return self._reply(404, b"{}")
 
     def do_POST(self):
-        if self.path != "/graphql":
-            return self._reply(404, b"{}")
         if not self._authed():
             return self._reply(
                 200, json.dumps({"errors": [{"message": "unauthorized"}]}).encode())
+        # file-stream ingestion: POST /files/<entity>/<project>/<run>/file_stream
+        parts = self.path.strip("/").split("/")
+        if parts[0] == "files" and parts[-1] == "file_stream" and len(parts) == 5:
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            hist = body["files"]["wandb-history.jsonl"]
+            store = self.server.ingested.setdefault(parts[3], [])
+            assert hist["offset"] == len(store), (hist["offset"], len(store))
+            store.extend(json.loads(line) for line in hist["content"])
+            return self._reply(200, b"{}")
+        if self.path != "/graphql":
+            return self._reply(404, b"{}")
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
         q, v = body["query"], body.get("variables", {})
+        if "UpsertBucket" in q:
+            self.server.upserted.setdefault(v["name"], []).append(
+                json.loads(v.get("config") or "{}"))
+            return self._reply(200, json.dumps({"data": {"upsertBucket": {
+                "bucket": {"id": "xyz", "name": v["name"],
+                           "displayName": v.get("displayName")}}}}).encode())
         if v.get("project") != PROJECT or v.get("entity") != ENTITY:
             return self._reply(200, json.dumps({"data": {"project": None}}).encode())
 
@@ -126,12 +141,19 @@ class _Handler(http.server.BaseHTTPRequestHandler):
 
 
 @pytest.fixture(scope="module")
-def server():
+def srv_obj():
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.ingested = {}
+    srv.upserted = {}
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv
     srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server(srv_obj):
+    return f"http://127.0.0.1:{srv_obj.server_address[1]}"
 
 
 @pytest.fixture()
@@ -203,6 +225,42 @@ def test_auth_is_required(server):
     bad = WandbClient(base_url=server, api_key="wrong")
     with pytest.raises(RuntimeError, match="unauthorized"):
         bad.run(f"{ENTITY}/{PROJECT}/run1")
+
+
+def test_native_run_ingestion(client, srv_obj):
+    """The write half of the protocol: upsertBucket at init, buffered metric
+    rows through the file-stream endpoint with monotone offsets (the SDK's
+    wire format for wandb.log)."""
+    from spherical_dyffusion_tpu.utils.wandb_client import NativeWandbRun
+
+    run = NativeWandbRun(ENTITY, PROJECT, "ingest1", client=client,
+                         config={"embed_dim": 64}, flush_every=3)
+    assert srv_obj.upserted["ingest1"][0]["embed_dim"] == {"value": 64}
+    for i in range(7):
+        run.log({"loss": 1.0 / (i + 1)}, step=i)
+    run.finish()
+    rows = srv_obj.ingested["ingest1"]
+    assert len(rows) == 7
+    assert rows[3]["_step"] == 3 and rows[3]["loss"] == pytest.approx(0.25)
+
+
+def test_wandb_logger_native_mirror(server, srv_obj, monkeypatch):
+    """WandbLogger falls back to the native-protocol run when the SDK is
+    absent and WANDB_BASE_URL is set (this env has no wandb package, so the
+    fallback engages for real)."""
+    from spherical_dyffusion_tpu.utils.loggers import WandbLogger
+
+    monkeypatch.setenv("WANDB_BASE_URL", server)
+    monkeypatch.setenv("WANDB_API_KEY", API_KEY)
+    monkeypatch.setenv("WANDB_ENTITY", ENTITY)
+    lg = WandbLogger(project=PROJECT, name="mirror1")
+    lg.log_hyperparams({"lr": 0.001})
+    lg.log({"train/loss": 0.5}, step=0)
+    lg.log({"train/loss": 0.25}, step=1)
+    lg.finish()
+    assert srv_obj.upserted["mirror1"][-1]["lr"] == {"value": 0.001}
+    rows = srv_obj.ingested["mirror1"]
+    assert [r["train/loss"] for r in rows] == [0.5, 0.25]
 
 
 def test_wandb_prefix_resolves_through_checkpoint_path(client, tmp_path,
