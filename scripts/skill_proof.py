@@ -86,6 +86,11 @@ def main(argv=None) -> dict:
                     help="spectral-pipeline intermediate emission dtype "
                          "(e.g. bfloat16 — quantifies the skill cost of the "
                          "BENCH_SPECTRAL_IO speed knob)")
+    ap.add_argument("--peel", action="store_true",
+                    help="peel_sampler=True in the DYffusion config: "
+                         "confirms the calibration/skill gates under the "
+                         "peeled sampler's restructured rng stream (the "
+                         "fast product config's recommended pairing)")
     args = ap.parse_args(argv)
 
     import jax
@@ -253,7 +258,8 @@ def main(argv=None) -> dict:
     # ---------------------------------------------------------------- stage 2
     print("== stage 2: DYffusion forecaster ==", flush=True)
     dcfg = DYffusionConfig(timesteps=HORIZON, forward_conditioning="data",
-                           lambda_reconstruction=1.0)
+                           lambda_reconstruction=1.0,
+                           peel_sampler=args.peel)
     fmodel = SFNO(SFNOConfig(
         img_shape=(P["height"], P["width"]), in_chans=2 * C, out_chans=C,
         embed_dim=P["embed"], num_layers=P["layers"], with_time_emb=True,
