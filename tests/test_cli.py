@@ -50,6 +50,52 @@ def test_checkpoint_reload_with_overrides(ckpt):
     assert ema is not None
 
 
+def test_peel_sampler_reachable_via_overrides(ckpt):
+    """diffusion.peel_sampler must flow from config/overrides into the
+    DYffusion config (the fast product config's recommended pairing), and the
+    resulting rollout must match the uniform scan sampler exactly in a
+    deterministic eval (dropout off)."""
+    import numpy as np
+
+    from spherical_dyffusion_tpu.evaluation.aggregators import (
+        InferenceAggregator,
+    )
+    from spherical_dyffusion_tpu.inference import (
+        DYffusionStepper,
+        InferenceConfig,
+        run_inference,
+    )
+    from spherical_dyffusion_tpu.training import Trainer, TrainerConfig
+
+    def run(peel):
+        cfg3 = dict(CFG)
+        cfg3["experiment"] = "dyffusion"
+        cfg3["module"] = {"enable_inference_dropout": False}
+        cfg3["diffusion"] = {"forward_conditioning": "none",
+                             "interpolator_checkpoint_path": ckpt,
+                             "enable_interpolator_dropout": False,
+                             "peel_sampler": peel}
+        dm = get_datamodule(cfg3)
+        exp = get_experiment(cfg3, dm)
+        assert exp.diffusion_cfg.peel_sampler is peel
+        tr = Trainer(exp, dm, TrainerConfig(epochs=0, steps_per_epoch=1,
+                                            use_ema=False, seed=0))
+        params = tr.init_state(next(iter(dm.train_batches(seed=0)))).params
+        stepper = DYffusionStepper(exp, params)
+        agg = InferenceAggregator(list(dm.cfg.out_names),
+                                  dm.grid.horizontal.area_weights())
+        summary = run_inference(
+            stepper, dm._src,
+            InferenceConfig(n_forward_steps=6, forward_steps_in_memory=3),
+            aggregator=agg, verbose=False)
+        assert summary["n_forward_steps"] == 6
+        return agg.get_logs()["inference/avg/rmse"]
+
+    a, b = run(False), run(True)
+    assert np.isfinite(b)
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
 def test_interpolator_ema_threads_through_checkpoint_load(ckpt):
     """interpolator_use_ema must select the interpolator's EMA tree loaded
     from its checkpoint (reference dyffusion.py:121-122,236-237); the knob
