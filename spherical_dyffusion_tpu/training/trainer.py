@@ -521,13 +521,16 @@ class Trainer:
                         (step, metrics["loss"], metrics.get("grad_norm")))
                 step += 1
             losses = [float(x) for x in losses]
+            # the losses sync above IS training time (waiting for the device
+            # to drain); the log flush below is not — timestamp between them
+            # so epoch_time_s/steps_per_sec exclude logger/network latency
+            epoch_s = time.time() - t0
             for s_, l_, g_ in pending_logs:
                 logger.log(
                     {"train/loss": float(l_),
                      "train/grad_norm": float(g_) if g_ is not None else 0.0},
                     step=s_,
                 )
-            epoch_s = time.time() - t0
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             history["train_loss"].append(mean_loss)
             if logger is not None:

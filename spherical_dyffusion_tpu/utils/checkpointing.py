@@ -40,13 +40,14 @@ def resolve_checkpoint_path(path: str, cache_dir: Optional[str] = None) -> str:
         from .wandb_client import restore_checkpoint_from_wandb
 
         spec = path[len(WANDB_PREFIX):]
-        run_path, _, epoch = spec.partition(":")
-        if epoch.isdigit():
-            epoch = int(epoch)
+        run_path, _, epoch_s = spec.partition(":")
+        # ':0' is a genuine epoch request — never collapse it to 'best'
+        epoch = (int(epoch_s) if epoch_s.isdigit()
+                 else (epoch_s if epoch_s else "best"))
         dest = cache_dir or os.path.join(DEFAULT_CACHE, "wandb")
         os.makedirs(dest, exist_ok=True)
         return restore_checkpoint_from_wandb(run_path, dest_dir=dest,
-                                             epoch=epoch or "best")
+                                             epoch=epoch)
     if os.path.isdir(path):
         found = find_checkpoint_in_dir(path)
         if found is None:

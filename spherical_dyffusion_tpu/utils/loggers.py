@@ -58,7 +58,8 @@ class WandbLogger:
         try:
             import wandb  # noqa
 
-            self._run = wandb.init(project=project, name=name, **kwargs)
+            self._run = wandb.init(project=project, name=name, entity=entity,
+                                   **kwargs)
             self._wandb = wandb
             return
         except Exception:

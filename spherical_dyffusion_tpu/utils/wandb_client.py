@@ -203,18 +203,26 @@ class WandbClient:
         endpoint (``POST /files/{entity}/{project}/{run}/file_stream`` with
         JSONL lines under ``wandb-history.jsonl`` — the SDK's metric-upload
         wire format). Returns the next offset."""
-        entity, project, name = _split_run_path(run_path)
         lines = [json.dumps(r) for r in rows]
-        body = json.dumps({"files": {"wandb-history.jsonl": {
-            "offset": offset, "content": lines}}}).encode()
+        self._file_stream(run_path, {"files": {"wandb-history.jsonl": {
+            "offset": offset, "content": lines}}})
+        return offset + len(lines)
+
+    def mark_finished(self, run_path: str, exitcode: int = 0) -> None:
+        """Mark a run finished — the SDK's final file-stream POST carries
+        ``{"complete": true, "exitcode": N}``; without it the run stays in
+        state 'running' forever and state-filtered queries never match it."""
+        self._file_stream(run_path, {"complete": True, "exitcode": exitcode})
+
+    def _file_stream(self, run_path: str, payload: Dict[str, Any]) -> None:
+        entity, project, name = _split_run_path(run_path)
         req = urllib.request.Request(
             f"{self.base_url}/files/{entity}/{project}/{name}/file_stream",
-            data=body, method="POST",
+            data=json.dumps(payload).encode(), method="POST",
             headers={"Content-Type": "application/json", **self._auth_header()},
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as r:
             r.read()
-        return offset + len(lines)
 
     def download_file(self, run_path: str, filename: str, dest: str) -> str:
         """Download one run file via its directUrl to ``dest``."""
@@ -243,6 +251,9 @@ class NativeWandbRun:
     Used by :class:`~.loggers.WandbLogger` as the SDK-free mirror when
     ``WANDB_BASE_URL``/``WANDB_API_KEY`` point at a wandb-protocol server."""
 
+    # consecutive transport failures before the mirror disables itself
+    MAX_FAILURES = 5
+
     def __init__(self, entity: str, project: str, name: str,
                  client: Optional[WandbClient] = None,
                  config: Optional[Dict[str, Any]] = None,
@@ -253,11 +264,27 @@ class NativeWandbRun:
         self.flush_every = flush_every
         self._buffer: List[Dict[str, Any]] = []
         self._offset = 0
+        self._failures = 0
+        # init failures raise (the caller decides whether to disable the
+        # mirror); post-init transport failures are best-effort — training
+        # must never die because the metrics endpoint flapped
         self.client.upsert_run(entity, project, name, config=config or {})
 
+    def _best_effort(self, what: str, fn) -> None:
+        if self._failures >= self.MAX_FAILURES:
+            return
+        try:
+            fn()
+            self._failures = 0
+        except Exception as e:
+            self._failures += 1
+            suffix = (" — mirror disabled" if
+                      self._failures >= self.MAX_FAILURES else "")
+            print(f"[wandb-mirror] {what} failed ({e}){suffix}")
+
     def update_config(self, config: Dict[str, Any]):
-        self.client.upsert_run(self.entity, self.project, self.name,
-                               config=config)
+        self._best_effort("config update", lambda: self.client.upsert_run(
+            self.entity, self.project, self.name, config=config))
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
         row = dict(metrics)
@@ -268,13 +295,20 @@ class NativeWandbRun:
             self.flush()
 
     def flush(self):
-        if self._buffer:
+        if not self._buffer:
+            return
+
+        def _send():
             self._offset = self.client.log_history(
                 self.run_path, self._buffer, offset=self._offset)
             self._buffer = []
 
+        self._best_effort("history flush", _send)
+
     def finish(self):
         self.flush()
+        self._best_effort("finish", lambda: self.client.mark_finished(
+            self.run_path))
 
 
 def _decode_run(node: Dict[str, Any]) -> Dict[str, Any]:
@@ -307,8 +341,14 @@ def get_wandb_ckpt_name(client: WandbClient, run_path: str,
     if not ckpt_files:
         raise ValueError(f"run {run_path} has no .ckpt files in the cloud")
     if len(ckpt_files) >= 2:
-        epochs = [int(re.sub(r"\D", "", name.split(".")[0]) or -1)
-                  for name in ckpt_files]
+        # parse only the digits immediately after 'epoch' (the reference's
+        # int(name.replace('epoch','')[:3]) — 'epoch004-v1.ckpt' is epoch 4,
+        # not 41); names without the prefix never match a numeric request
+        def _epoch_of(name: str) -> int:
+            m = re.search(r"epoch(\d+)", name)
+            return int(m.group(1)) if m else -1
+
+        epochs = [_epoch_of(name) for name in ckpt_files]
         if epoch == "last":
             target = max(epochs)
         else:
@@ -357,7 +397,9 @@ def load_config_from_wandb(
 
     client = client or WandbClient()
     raw = client.run(run_path)["config"]
-    cfg = {k: (v["value"] if isinstance(v, dict) and set(v) == {"value"} else v)
+    # the SDK's envelope is {'value': ..., 'desc': ...} — unwrap on key
+    # presence like the SDK does, not dict equality
+    cfg = {k: (v["value"] if isinstance(v, dict) and "value" in v else v)
            for k, v in raw.items() if k != "_wandb"}
     if overrides:
         cfg = deep_update(cfg, dict(overrides))

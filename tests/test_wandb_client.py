@@ -27,9 +27,11 @@ RUNS = {
     "run1": {
         "id": "UnVuOnYx", "name": "run1", "displayName": "sfno-d0.35",
         "state": "finished",
+        # the SDK envelope carries desc alongside value — unwrap must key on
+        # 'value' presence, not dict equality
         "config": {"_wandb": {"value": {"cli": "x"}},
                    "model": {"value": {"embed_dim": 256, "num_layers": 8}},
-                   "lr": {"value": 3e-4}},
+                   "lr": {"value": 3e-4, "desc": None}},
         "summaryMetrics": {"val/avg/crps": 0.3369, "epoch": 49},
         "files": [{"name": "best.ckpt", "md5": "x", "sizeBytes": len(CKPT_BYTES)},
                   {"name": "last.ckpt", "md5": "y", "sizeBytes": len(CKPT_BYTES)}],
@@ -82,6 +84,9 @@ class _Handler(http.server.BaseHTTPRequestHandler):
         parts = self.path.strip("/").split("/")
         if parts[0] == "files" and parts[-1] == "file_stream" and len(parts) == 5:
             body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            if body.get("complete"):
+                self.server.finished[parts[3]] = body.get("exitcode")
+                return self._reply(200, b"{}")
             hist = body["files"]["wandb-history.jsonl"]
             store = self.server.ingested.setdefault(parts[3], [])
             assert hist["offset"] == len(store), (hist["offset"], len(store))
@@ -145,6 +150,7 @@ def srv_obj():
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     srv.ingested = {}
     srv.upserted = {}
+    srv.finished = {}
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -242,6 +248,45 @@ def test_native_run_ingestion(client, srv_obj):
     rows = srv_obj.ingested["ingest1"]
     assert len(rows) == 7
     assert rows[3]["_step"] == 3 and rows[3]["loss"] == pytest.approx(0.25)
+    # finish() marks the run complete server-side (the SDK's final POST)
+    assert srv_obj.finished["ingest1"] == 0
+
+
+def test_native_run_survives_transport_failures(client, srv_obj):
+    """Post-init transport failures must never propagate into training: the
+    mirror degrades to best-effort and disables itself after repeated
+    failures."""
+    from spherical_dyffusion_tpu.utils.wandb_client import (
+        NativeWandbRun,
+        WandbClient,
+    )
+
+    run = NativeWandbRun(ENTITY, PROJECT, "flaky1", client=client,
+                         flush_every=2)
+    # break the endpoint mid-run
+    run.client = WandbClient(base_url="http://127.0.0.1:9", api_key="x",
+                             timeout=0.2)
+    for i in range(NativeWandbRun.MAX_FAILURES + 3):
+        run.log({"loss": 1.0}, step=i)  # flushes raise inside, are swallowed
+    run.update_config({"a": 1})
+    run.finish()  # no exception
+    assert run._failures >= NativeWandbRun.MAX_FAILURES
+
+
+def test_epoch_parse_ignores_numeric_suffixes(client, srv_obj, monkeypatch):
+    """'epoch004-v1.ckpt' is epoch 4, not 41 (the reference parses only the
+    digits after 'epoch')."""
+    RUNS["run3"] = dict(RUNS["run2"],
+                        files=[{"name": "epoch004-v1.ckpt", "md5": "a",
+                                "sizeBytes": 4},
+                               {"name": "epoch005.ckpt", "md5": "b",
+                                "sizeBytes": 4}])
+    try:
+        rp = f"{ENTITY}/{PROJECT}/run3"
+        assert get_wandb_ckpt_name(client, rp, 4) == "epoch004-v1.ckpt"
+        assert get_wandb_ckpt_name(client, rp, "last") == "epoch005.ckpt"
+    finally:
+        del RUNS["run3"]
 
 
 def test_wandb_logger_native_mirror(server, srv_obj, monkeypatch):
