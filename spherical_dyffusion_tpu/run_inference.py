@@ -21,6 +21,11 @@ from typing import List, Optional
 def main_from_config(cfg: dict) -> dict:
     import jax
 
+    from .parallel.multihost import maybe_init_multihost
+
+    # pod wireup (opt-in via SPHDY_MULTIHOST / SPHDY_COORDINATOR) — must
+    # precede the first jax computation
+    maybe_init_multihost()
     if cfg.get("platform"):
         jax.config.update("jax_platforms", str(cfg["platform"]))
 

@@ -23,8 +23,14 @@ import numpy as np
 
 def run_model(config_path: Optional[str], overrides: List[str]) -> dict:
     from .interface import get_datamodule, get_experiment, save_experiment_checkpoint
+    from .parallel.multihost import maybe_init_multihost
     from .training import Trainer, TrainerConfig
     from .utils.config import load_config
+
+    # pod wireup (opt-in via SPHDY_MULTIHOST / SPHDY_COORDINATOR; replaces the
+    # reference's WORLD_SIZE/RANK process-group bootstrap, comm.py:112-179) —
+    # must precede the first jax computation
+    maybe_init_multihost()
 
     default_cfg = os.path.join(os.path.dirname(__file__), "configs", "main.yaml")
     # hydra-style: `experiment=<name>` loads configs/experiment/<name>.yaml

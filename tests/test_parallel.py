@@ -215,3 +215,56 @@ def test_donate_state_multi_step():
         state, metrics = step(state, dyn, None,
                               jax.random.fold_in(jax.random.PRNGKey(0), i), None)
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# multihost wireup guard (parallel/multihost.py): the env parse must be exact
+# and the guard must no-op single-host — a pod launch recipe is untestable
+# here, so the parse/no-op contract is the testable surface (reference
+# analog: the WORLD_SIZE/RANK parsing of comm.py:112-179).
+
+
+def test_multihost_env_parse():
+    from spherical_dyffusion_tpu.parallel import (
+        MultihostSpec,
+        parse_multihost_env,
+    )
+
+    # no opt-in -> None (single-host default; unrelated env vars ignored)
+    assert parse_multihost_env({}) is None
+    assert parse_multihost_env({"WORLD_SIZE": "8", "RANK": "0"}) is None
+
+    # auto-detection mode: flag only, no coordinator
+    assert parse_multihost_env({"SPHDY_MULTIHOST": "1"}) == MultihostSpec()
+
+    # explicit coordinator with topology
+    spec = parse_multihost_env({
+        "SPHDY_COORDINATOR": "10.0.0.2:8476",
+        "SPHDY_NUM_PROCESSES": "4",
+        "SPHDY_PROCESS_ID": "1",
+    })
+    assert spec == MultihostSpec("10.0.0.2:8476", 4, 1)
+
+    # explicit coordinator, topology auto-detected
+    spec = parse_multihost_env({"SPHDY_COORDINATOR": "host:1234"})
+    assert spec == MultihostSpec("host:1234", None, None)
+
+    # malformed opt-ins fail loudly at startup (not in the handshake)
+    with pytest.raises(ValueError):
+        parse_multihost_env({"SPHDY_COORDINATOR": "no-port"})
+    with pytest.raises(ValueError):
+        parse_multihost_env({"SPHDY_COORDINATOR": "h:12",
+                             "SPHDY_NUM_PROCESSES": "two",
+                             "SPHDY_PROCESS_ID": "0"})
+    with pytest.raises(ValueError):  # num/id must come together
+        parse_multihost_env({"SPHDY_COORDINATOR": "h:12",
+                             "SPHDY_NUM_PROCESSES": "2"})
+
+
+def test_multihost_guard_noops_single_host():
+    from spherical_dyffusion_tpu.parallel import maybe_init_multihost
+
+    # empty env: returns None and must NOT touch jax.distributed
+    assert maybe_init_multihost(env={}) is None
+    # jax remains single-process (initialize() was never called)
+    assert jax.process_count() == 1
