@@ -113,6 +113,34 @@ class TrainerConfig:
     # mirrored when ckpt_mirror is set), like the reference's
     # ModelCheckpoint(monitor=...) + upload-on-improvement.
     ckpt_monitor: Optional[str] = None
+    # WatchModel analog (reference wandb_callbacks.py:22-33 logs gradient
+    # histograms per weight): per-TOP-LEVEL-SUBTREE gradient norms
+    # (grad_norm/<subtree>) computed inside the jitted step and emitted at
+    # log points — the layer-resolution signal (which block's gradients
+    # explode/vanish) at scalar cost instead of per-weight histogram fetches.
+    watch_model: bool = False
+    # upload saved checkpoints into the wandb run's cloud files through the
+    # logger (the reference's MyWandbLogger save_to_wandb leg,
+    # wandb_callbacks.py:74-140 via wandb.save); needs a fit(logger=...)
+    # whose WandbLogger is live. Best-effort + content-hash dedup.
+    save_to_wandb: bool = False
+    # write a deterministic code.tar.gz of the package source beside the
+    # checkpoints once per fit (the reference's log_code leg,
+    # wandb_callbacks.py:118-133), uploaded too when save_to_wandb.
+    code_snapshot: bool = True
+
+
+def _grad_norm_table(grads, per_subtree: bool) -> dict:
+    """Global gradient norm, plus per-top-level-subtree norms when
+    ``per_subtree`` (TrainerConfig.watch_model — the WatchModel analog,
+    reference wandb_callbacks.py:22-33). All scalars, computed inside the
+    jitted step: layer-resolution gradient health without per-weight
+    histogram fetches through the tunnel."""
+    out = {"grad_norm": optax.global_norm(grads)}
+    if per_subtree and hasattr(grads, "items"):
+        for k, v in grads.items():
+            out[f"grad_norm/{k}"] = optax.global_norm(v)
+    return out
 
 
 def chunked_vmap(fn: Callable, keys: jnp.ndarray, chunk: Optional[int] = None):
@@ -348,8 +376,7 @@ class Trainer:
             ema = state.ema
             if ema is not None:
                 ema = ema_update(ema, params, cfg.ema_decay)
-            gnorm = optax.global_norm(grads)
-            metrics = dict(metrics, grad_norm=gnorm)
+            metrics = dict(metrics, **_grad_norm_table(grads, cfg.watch_model))
             return (
                 TrainState(params=params, opt_state=opt_state, ema=ema, step=state.step + 1),
                 metrics,
@@ -429,7 +456,7 @@ class Trainer:
             ema = state.ema
             if ema is not None:
                 ema = ema_update(ema, params, cfg.ema_decay)
-            metrics = dict(metrics, grad_norm=optax.global_norm(grads))
+            metrics = dict(metrics, **_grad_norm_table(grads, cfg.watch_model))
             return (
                 TrainState(params=params, opt_state=opt_state, ema=ema,
                            step=state.step + 1),
@@ -481,6 +508,7 @@ class Trainer:
             )
         if cfg.fit_mode != "fit":
             raise ValueError(f"Unknown fit_mode {cfg.fit_mode!r}")
+        self._logger = logger  # for ckpt/code upload in _save_and_mirror
         epochs = epochs if epochs is not None else cfg.epochs
         first = next(iter(self.dm.train_batches(seed=cfg.seed)))
         state = self.init_state(first)
@@ -517,8 +545,9 @@ class Trainer:
                     # tunnel overhead per log point); the device values are
                     # flushed below together with the epoch's loss list,
                     # keyed by their true step numbers
-                    pending_logs.append(
-                        (step, metrics["loss"], metrics.get("grad_norm")))
+                    gkeys = {k: v for k, v in metrics.items()
+                             if k == "grad_norm" or k.startswith("grad_norm/")}
+                    pending_logs.append((step, metrics["loss"], gkeys))
                 step += 1
             losses = [float(x) for x in losses]
             # the losses sync above IS training time (waiting for the device
@@ -528,7 +557,7 @@ class Trainer:
             for s_, l_, g_ in pending_logs:
                 logger.log(
                     {"train/loss": float(l_),
-                     "train/grad_norm": float(g_) if g_ is not None else 0.0},
+                     **{f"train/{k}": float(v) for k, v in g_.items()}},
                     step=s_,
                 )
             mean_loss = float(np.mean(losses)) if losses else float("nan")
@@ -599,6 +628,7 @@ class Trainer:
         permutation per epoch.
         """
         cfg = self.cfg
+        self._logger = logger  # for ckpt/code upload in _save_and_mirror
         epochs = epochs if epochs is not None else cfg.epochs
         ds = self.dm.dataset("train")
         bs = self.dm.cfg.batch_size
@@ -974,14 +1004,26 @@ class Trainer:
             return
         last = os.path.join(cfg.ckpt_dir, "last.ckpt")
         self.save_checkpoint(state, last)
+        best_path = os.path.join(cfg.ckpt_dir, "best.ckpt")
         improved = False
         if cfg.ckpt_monitor and val and cfg.ckpt_monitor in val:
             v = float(val[cfg.ckpt_monitor])
             best = getattr(self, "_best_monitor", None)
             if best is None or v < best:
                 self._best_monitor = v
-                self.save_checkpoint(state, os.path.join(cfg.ckpt_dir, "best.ckpt"))
+                self.save_checkpoint(state, best_path)
                 improved = True
+        # code snapshot beside the ckpts, once per fit (reference log_code,
+        # wandb_callbacks.py:118-133; deterministic tar so re-fits that
+        # change nothing produce identical bytes)
+        code_tar = None
+        if cfg.code_snapshot:
+            code_tar = os.path.join(cfg.ckpt_dir, "code.tar.gz")
+            if not getattr(self, "_code_snapshotted", False):
+                from ..utils.code_snapshot import snapshot_code
+
+                snapshot_code(code_tar)
+                self._code_snapshotted = True
         if cfg.ckpt_mirror:
             mirror = getattr(self, "_ckpt_mirror", None)
             if mirror is None:
@@ -990,7 +1032,20 @@ class Trainer:
                 mirror = self._ckpt_mirror = CheckpointMirror(cfg.ckpt_mirror)
             mirror.mirror(last)
             if improved:
-                mirror.mirror(os.path.join(cfg.ckpt_dir, "best.ckpt"))
+                mirror.mirror(best_path)
+            if code_tar:
+                mirror.mirror(code_tar)
+        # wandb-side file upload (the reference's save_to_wandb leg via
+        # wandb.save, wandb_callbacks.py:74-140): best-effort + hash dedup
+        # in the logger, so unchanged re-saves cost one sha256
+        logger = getattr(self, "_logger", None)
+        if cfg.save_to_wandb and logger is not None \
+                and hasattr(logger, "save_file"):
+            logger.save_file(last, name="last.ckpt")
+            if improved:
+                logger.save_file(best_path, name="best.ckpt")
+            if code_tar:
+                logger.save_file(code_tar, name="code.tar.gz")
 
     def save_checkpoint(self, state: TrainState, path: str, extra_config: dict = None):
         """Single checkpoint format: the config-embedding one (there used to be

@@ -86,6 +86,29 @@ class WandbLogger:
         elif self._native is not None:
             self._native.log(metrics, step=step)
 
+    def save_file(self, path: str, name: Optional[str] = None):
+        """Upload a file into the run's cloud files (the SDK's ``wandb.save``;
+        the reference pushes checkpoints through it,
+        wandb_callbacks.py:215-219). Best-effort on both paths."""
+        if self._run is not None:
+            try:
+                self._wandb.save(path, policy="now")
+            except Exception as e:
+                print(f"[wandb] file save failed ({e})")
+        elif self._native is not None:
+            self._native.save(path, name=name)
+
+    def log_code(self, root: str):
+        """Snapshot the source tree into the run (the SDK's ``log_code``;
+        reference MyWandbLogger, wandb_callbacks.py:118-133)."""
+        if self._run is not None:
+            try:
+                self._run.log_code(root)
+            except Exception as e:
+                print(f"[wandb] log_code failed ({e})")
+        elif self._native is not None:
+            self._native.log_code(root)
+
     def finish(self):
         if self._run is not None:
             self._run.finish()
@@ -104,6 +127,16 @@ class MultiLogger:
     def log(self, metrics, step=None):
         for l in self.loggers:
             l.log(metrics, step=step)
+
+    def save_file(self, path, name=None):
+        for l in self.loggers:
+            if hasattr(l, "save_file"):
+                l.save_file(path, name=name)
+
+    def log_code(self, root):
+        for l in self.loggers:
+            if hasattr(l, "log_code"):
+                l.log_code(root)
 
     def finish(self):
         for l in self.loggers:

@@ -85,6 +85,24 @@ query RunHistory($entity: String!, $project: String!, $name: String!, $samples: 
 }
 """
 
+# per-file signed upload URLs — the query the wandb SDK issues for
+# wandb.save()/log_code(): the backend registers the filenames on the run and
+# returns a signed PUT URL per file (url(upload: true)) plus any storage
+# headers the PUT must carry
+_UPLOAD_URLS_QUERY = """
+query RunUploadUrls($name: String!, $files: [String]!, $entity: String, $run: String!) {
+  model(name: $name, entityName: $entity) {
+    bucket(name: $run) {
+      id
+      files(names: $files) {
+        uploadHeaders
+        edges { node { name url(upload: true) } }
+      }
+    }
+  }
+}
+"""
+
 # run creation/update — the mutation the wandb SDK issues at wandb.init()
 _UPSERT_RUN_MUTATION = """
 mutation UpsertBucket($entity: String, $project: String, $name: String,
@@ -224,6 +242,51 @@ class WandbClient:
         with urllib.request.urlopen(req, timeout=self.timeout) as r:
             r.read()
 
+    def upload_urls(self, run_path: str,
+                    names: Sequence[str]) -> Dict[str, Any]:
+        """Resolve signed upload URLs for run files (the SDK's RunUploadUrls
+        query). Returns ``{"headers": {...}, "urls": {name: url}}``."""
+        entity, project, run = _split_run_path(run_path)
+        data = self.graphql(_UPLOAD_URLS_QUERY, {
+            "name": project, "entity": entity, "run": run,
+            "files": list(names),
+        })
+        bucket = (data.get("model") or {}).get("bucket")
+        if bucket is None:
+            raise KeyError(f"run not found: {run_path}")
+        files = bucket.get("files") or {}
+        headers = {}
+        for h in files.get("uploadHeaders") or []:
+            k, _, v = h.partition(":")
+            headers[k.strip()] = v.strip()
+        urls = {e["node"]["name"]: e["node"].get("url")
+                for e in files.get("edges") or []}
+        return {"headers": headers, "urls": urls}
+
+    def upload_file(self, run_path: str, local_path: str,
+                    name: Optional[str] = None) -> Dict[str, Any]:
+        """Upload one file into the run's files (the wire behind
+        ``wandb.save()`` — the mechanism MyWandbLogger uses to push
+        checkpoints to the cloud, reference wandb_callbacks.py:215-219):
+        resolve a signed PUT URL, then PUT the bytes with the backend's
+        storage headers. Returns ``{"name", "size"}``."""
+        name = name or os.path.basename(local_path)
+        resolved = self.upload_urls(run_path, [name])
+        url = resolved["urls"].get(name)
+        if not url:
+            raise RuntimeError(
+                f"backend returned no upload URL for {name!r} on {run_path}")
+        with open(local_path, "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(
+            url, data=body, method="PUT",
+            headers={"Content-Type": "application/octet-stream",
+                     **resolved["headers"]},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            r.read()
+        return {"name": name, "size": len(body)}
+
     def download_file(self, run_path: str, filename: str, dest: str) -> str:
         """Download one run file via its directUrl to ``dest``."""
         files = self.run_files(run_path, names=[filename])
@@ -304,6 +367,37 @@ class NativeWandbRun:
             self._buffer = []
 
         self._best_effort("history flush", _send)
+
+    def save(self, local_path: str, name: Optional[str] = None):
+        """Upload a file into the run's cloud files (the SDK's
+        ``wandb.save``; reference MyWandbLogger.save_last/save_best push
+        checkpoints through it, wandb_callbacks.py:215-219,253-260).
+        Content-hash deduplicated like the reference's
+        ``_hash_of_best_ckpts`` guard: re-saving unchanged bytes is a no-op."""
+        import hashlib
+
+        name = name or os.path.basename(local_path)
+        with open(local_path, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        if getattr(self, "_file_hashes", {}).get(name) == digest:
+            return
+        self._best_effort(f"file upload {name}", lambda: self.client.
+                          upload_file(self.run_path, local_path, name=name))
+        if self._failures == 0:
+            self.__dict__.setdefault("_file_hashes", {})[name] = digest
+
+    def log_code(self, root: str, name: str = "code.tar.gz"):
+        """Snapshot the source tree into the run's files (the SDK's
+        ``log_code``; reference MyWandbLogger uploads ``src/`` python files,
+        wandb_callbacks.py:118-133): one tar.gz of the tree's .py/.yaml
+        files, uploaded like any run file."""
+        import tempfile
+
+        from .code_snapshot import snapshot_code
+
+        with tempfile.TemporaryDirectory() as td:
+            path = snapshot_code(os.path.join(td, name), roots=[root])
+            self.save(path, name=name)
 
     def finish(self):
         self.flush()
