@@ -564,9 +564,9 @@ def load_ace_stepper_checkpoint(path: str, _preloaded=None):
     if sd and all(k.startswith("module.") for k in sd):
         sd = {k[len("module."):]: v for k, v in sd.items()}
     # both filter families convert: linear (dhconv/diagonal) and non-linear
-    # SpectralAttentionS2 (diagonal); infer_sfno_architecture raises loudly
-    # on anything else (l-dependant / parametrized complex activations are
-    # guarded in sfno_torch_to_flax)
+    # SpectralAttentionS2 (diagonal AND l-dependant); parametrized complex
+    # activations (modulus/halfplane ComplexReLU biases) are guarded loudly
+    # in sfno_torch_to_flax
     arch = infer_sfno_architecture(sd)
     area_np = np.asarray(state["area"])
     img_shape = tuple(state.get("img_shape") or area_np.shape)

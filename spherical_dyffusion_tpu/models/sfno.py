@@ -66,7 +66,9 @@ class SFNOConfig:
     scale_factor: int = 1
     spectral_transform: str = "sht"  # "sht" | "fft"
     filter_type: str = "linear"  # "linear" | "non-linear"
-    operator_type: str = "dhconv"  # "dhconv" | "diagonal"
+    # "dhconv" | "diagonal" (linear filter); "l-dependant" additionally valid
+    # with filter_type="non-linear" (per-degree spectral-attention weights)
+    operator_type: str = "dhconv"
     separable: bool = False
     mlp_ratio: float = 2.0
     use_mlp: bool = True
@@ -92,6 +94,13 @@ class SFNOConfig:
     fused_mlp: bool = False
     # row-tile size of the fused kernel's grid (B*H*W rows per Pallas block)
     fused_mlp_tile_rows: int = 1024
+    # round-5 boundary-corrected variant: extend the fused kernel UPSTREAM to
+    # norm1-apply + time-scale-shift (folded to one per-(batch,channel)
+    # affine by InstanceNorm2d(fold=True)) so the kernel's entry sits at a
+    # fusion-natural point and the normalized tensor never exists in HBM —
+    # addresses loss mechanism #2 of results/fused_mlp/README.md. Implies the
+    # MLP+skip fusion of fused_mlp; requires instance_norm. Inference-only.
+    fused_tail: bool = False
     # compile the homogeneous MIDDLE blocks (1..num_layers-2; first/last keep
     # the data-grid transforms and stay unrolled) as ONE lax.scan body with
     # stacked params: the compiled program carries one block body instead of
@@ -393,6 +402,12 @@ class SpectralAttentionS2(nn.Module):
     TPU-native counterpart of reference SpectralAttentionS2
     (s2convolutions.py:279-436): an N-layer complex MLP with residual and a
     complex activation, applied in SHT space, followed by ISHT.
+
+    ``operator_type``: "diagonal" shares one complex MLP across all modes;
+    "l-dependant" gives every spherical-harmonic degree l its own weight
+    matrices (reference s2convolutions.py:352-378 — weights gain a leading
+    modes_lat axis; the contraction becomes a per-l batched GEMM, which XLA
+    tiles onto the MXU as one einsum).
     """
 
     forward_transform: Any
@@ -401,6 +416,7 @@ class SpectralAttentionS2(nn.Module):
     hidden_size_factor: float = 2.0
     spectral_layers: int = 3
     complex_activation: str = "real"
+    operator_type: str = "diagonal"
     drop_rate: float = 0.0
     fwd_key: str = ""
     inv_key: str = ""
@@ -439,19 +455,34 @@ class SpectralAttentionS2(nn.Module):
         zr, zi = xs.real, xs.imag
         scale = 1.0 / (self.embed_dim * hidden) ** 0.5
         dims = [self.embed_dim] + [hidden] * self.spectral_layers
+        if self.operator_type == "l-dependant":
+            # per-degree weights (leading lmax axis); zr is (..., l, m, C)
+            lmax = zr.shape[-3]
+            wshape = lambda i, o: (lmax, i, o)  # noqa: E731
+
+            def mul(z, w):
+                return jnp.einsum("...lmi,lio->...lmo", z, w)
+        elif self.operator_type == "diagonal":
+            wshape = lambda i, o: (i, o)  # noqa: E731
+
+            def mul(z, w):
+                return z @ w
+        else:
+            raise ValueError(
+                f"Unknown non-linear operator type {self.operator_type!r}")
         for i in range(self.spectral_layers):
-            wr = self.param(f"w{i}_re", nn.initializers.normal(scale), (dims[i], dims[i + 1]))
-            wi = self.param(f"w{i}_im", nn.initializers.normal(scale), (dims[i], dims[i + 1]))
+            wr = self.param(f"w{i}_re", nn.initializers.normal(scale), wshape(dims[i], dims[i + 1]))
+            wi = self.param(f"w{i}_im", nn.initializers.normal(scale), wshape(dims[i], dims[i + 1]))
             br = self.param(f"b{i}_re", nn.initializers.zeros, (dims[i + 1],))
             bi = self.param(f"b{i}_im", nn.initializers.zeros, (dims[i + 1],))
             zr, zi = (
-                zr @ wr - zi @ wi + br,
-                zr @ wi + zi @ wr + bi,
+                mul(zr, wr) - mul(zi, wi) + br,
+                mul(zr, wi) + mul(zi, wr) + bi,
             )
             zr, zi = self._complex_act(zr, zi)
-        wr = self.param("wout_re", nn.initializers.normal(scale), (dims[-1], self.embed_dim))
-        wi = self.param("wout_im", nn.initializers.normal(scale), (dims[-1], self.embed_dim))
-        zr, zi = zr @ wr - zi @ wi, zr @ wi + zi @ wr
+        wr = self.param("wout_re", nn.initializers.normal(scale), wshape(dims[-1], self.embed_dim))
+        wi = self.param("wout_im", nn.initializers.normal(scale), wshape(dims[-1], self.embed_dim))
+        zr, zi = mul(zr, wr) - mul(zi, wi), mul(zr, wi) + mul(zi, wr)
         out = self.inverse_transform(jax.lax.complex(zr, zi), inv_m, inv_d)
         return out.astype(dtype), residual
 
@@ -533,6 +564,12 @@ class FNOBlock(nn.Module):
                 hidden_size_factor=cfg.mlp_ratio,
                 spectral_layers=cfg.spectral_layers,
                 complex_activation=cfg.complex_activation,
+                # the linear-family operator names (dhconv/diagonal) both map
+                # to the shared-MLP variant here; "l-dependant" selects
+                # per-degree weights (reference s2convolutions.py:352-378)
+                operator_type=("l-dependant"
+                               if cfg.operator_type == "l-dependant"
+                               else "diagonal"),
                 drop_rate=cfg.dropout_filter,
                 fwd_key=self.fwd_key,
                 inv_key=self.inv_key,
@@ -550,6 +587,43 @@ class FNOBlock(nn.Module):
 
         if cfg.filter_type == "linear":
             x = act(x)
+
+        # boundary-corrected fused tail: fold norm1 stats+affine and the time
+        # scale-shift into one per-(batch,channel) (A, B) pair (tiny XLA
+        # pre-pass: one stats sweep over x), then run
+        # norm-apply -> tss -> GEMM -> gelu -> dropout -> GEMM -> outer-skip
+        # as ONE VMEM-resident kernel (ops/fused_mlp.py:fused_block_tail)
+        use_tail = (cfg.fused_tail and cfg.use_mlp
+                    and cfg.normalization_layer == "instance_norm"
+                    and cfg.activation_function in ("gelu", "gelu_exact"))
+        if use_tail:
+            A, Bc = self._norm("norm1", self.output_shape)(x, fold=True)
+            if time_emb is not None and not cfg.time_scale_shift_before_filter:
+                emb = nn.silu(time_emb)
+                emb = nn.Dense(2 * cfg.embed_dim, name="time_mlp",
+                               kernel_init=nn.initializers.truncated_normal(0.02))(emb)
+                scale, shift = jnp.split(emb[:, None, None, :], 2, axis=-1)
+                A = A * (scale + 1.0)
+                Bc = Bc * (scale + 1.0) + shift
+            dp_active = ((self.drop_path > 0.0 or drop_path_rate is not None)
+                         and not deterministic)
+            fuse_res = not dp_active
+            x = MLP2d(
+                hidden_features=int(cfg.embed_dim * cfg.mlp_ratio),
+                out_features=cfg.embed_dim,
+                activation=cfg.activation_function,
+                drop_rate=cfg.dropout_mlp,
+                dtype=jnp.dtype(cfg.compute_dtype),
+                exact_dropout=cfg.exact_dropout,
+                fused=True,
+                fused_tile_rows=cfg.fused_mlp_tile_rows,
+                name="mlp",
+            )(x, deterministic=deterministic,
+              residual=residual if fuse_res else None, affine=(A, Bc))
+            if dp_active:
+                x = DropPath(self.drop_path)(x, deterministic=deterministic,
+                                             rate=drop_path_rate)
+            return x if fuse_res else x + residual
 
         x = self._norm("norm1", self.output_shape)(x)
 

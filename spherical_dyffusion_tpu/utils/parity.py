@@ -236,19 +236,27 @@ class NumpySFNOOracle:
             # 384-436): complex MLP per spectral mode, ComplexReLU mode
             # "real" between layers (relu on the real part, identity imag,
             # activations.py:57-61), final wout contraction
+            # per-layer complex contraction: shared weights (ci, co, 2) via
+            # compl_mul2d_fwd, or per-degree (l, ci, co, 2) via
+            # compl_exp_mul2d_fwd (operator_type "l-dependant",
+            # s2convolutions.py:352-378)
+            def _cmul(z, wgt):
+                wc = wgt[..., 0] + 1j * wgt[..., 1]
+                if wgt.ndim == 4:
+                    return np.einsum("bilm,lio->bolm", z, wc)
+                return np.einsum("bilm,io->bolm", z, wc)
+
             z = coef
             li = 0
             while f"blocks.{i}.filter.w.{li}" in self.sd:
-                wgt = self.sd[f"blocks.{i}.filter.w.{li}"]  # (ci, co, 2)
-                z = np.einsum("bilm,io->bolm", z, wgt[..., 0] + 1j * wgt[..., 1])
+                z = _cmul(z, self.sd[f"blocks.{i}.filter.w.{li}"])
                 bkey = f"blocks.{i}.filter.b.{li}"
                 if bkey in self.sd:
                     b = self.sd[bkey]  # (co, 1, 1, 2)
                     z = z + (b[..., 0] + 1j * b[..., 1])[None]
                 z = np.maximum(z.real, 0.0) + 1j * z.imag
                 li += 1
-            wout = self.sd[f"blocks.{i}.filter.wout"]
-            out = np.einsum("bilm,io->bolm", z, wout[..., 0] + 1j * wout[..., 1])
+            out = _cmul(z, self.sd[f"blocks.{i}.filter.wout"])
             return inv.isht(out), residual
         wgt = self.sd[f"blocks.{i}.filter.filter.weight"]  # (ci, co, l[, m], 2)
         wc = wgt[..., 0] + 1j * wgt[..., 1]

@@ -107,13 +107,9 @@ def sfno_torch_to_flax(torch_sd: Dict[str, np.ndarray], num_layers: int,
         # Our flax module splits re/im; torch bias=False -> explicit zeros
         # (our module always has bias params, additive identity).
         if b + "filter.w.0" in sd:
-            w0 = np.asarray(sd[b + "filter.w.0"])
-            if w0.ndim != 3:
-                raise NotImplementedError(
-                    "non-linear filter conversion covers operator_type="
-                    f"'diagonal' (w.0 of rank 3); got shape {w0.shape} "
-                    "(l-dependant)"
-                )
+            # rank-3 w.{l} = diagonal (shared MLP), rank-4 = l-dependant
+            # (leading modes_lat axis, s2convolutions.py:352-378); both lay
+            # out re/im as the trailing axis, so the split below covers both
             if b + "filter.activations.0.bias" in sd:
                 raise NotImplementedError(
                     "non-linear filter conversion covers complex_activation "
@@ -130,7 +126,7 @@ def sfno_torch_to_flax(torch_sd: Dict[str, np.ndarray], num_layers: int,
                     put(fb + f"filter/b{li}_re", bw[..., 0].reshape(-1))
                     put(fb + f"filter/b{li}_im", bw[..., 1].reshape(-1))
                 else:
-                    hidden = w.shape[1]
+                    hidden = w.shape[-2]  # (..., cin, cout, 2) both ranks
                     put(fb + f"filter/b{li}_re", np.zeros(hidden, w.dtype))
                     put(fb + f"filter/b{li}_im", np.zeros(hidden, w.dtype))
                 li += 1
@@ -321,19 +317,14 @@ def infer_sfno_architecture(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     elif "blocks.0.filter.w.0" in sd:
         # non-linear SpectralAttentionS2 (s2convolutions.py:279-436):
         # spectral_layers = number of filter.w.{l} entries; diagonal when
-        # w.0 is rank 3 (l-dependant adds a leading modes_lat axis)
+        # w.0 is rank 3, l-dependant when rank 4 (leading modes_lat axis,
+        # s2convolutions.py:352-378)
         filter_type = "non-linear"
         spectral_layers = 0
         while f"blocks.0.filter.w.{spectral_layers}" in sd:
             spectral_layers += 1
         w = np.asarray(sd["blocks.0.filter.w.0"])
-        if w.ndim != 3:
-            raise NotImplementedError(
-                "non-linear filter conversion covers operator_type="
-                f"'diagonal' (w.0 of rank 3); got shape {w.shape} "
-                "(l-dependant)"
-            )
-        operator_type = "diagonal"
+        operator_type = "l-dependant" if w.ndim == 4 else "diagonal"
     else:
         raise ValueError(
             "unrecognized block-0 filter family; keys: "
