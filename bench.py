@@ -120,7 +120,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
           merged_dhconv=False, params_dtype=None, preds_dtype=None,
           thresh=1.0, factorization="", rank=1.0, rank_pipeline=True,
           spectral_io="", fused_mlp=False, fused_tile=1024,
-          scan_layers=False, peel=False):
+          scan_layers=False, peel=False, fused_tail=False):
     H, W = 180, 360
     horizon = 6
     in_names = [f"v{i}" for i in range(35)]
@@ -146,6 +146,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
         spectral_io_dtype=spectral_io, fused_mlp=fused_mlp,
         fused_mlp_tile_rows=fused_tile, scan_layers=scan_layers,
+        fused_tail=fused_tail,
     ))
     interp = InterpolationExperiment(imodel, icfg, in_packer, out_packer, norm)
 
@@ -159,6 +160,7 @@ def build(embed=256, layers=8, dtype="float32", fold=False, use_pallas=False,
         factorization=factorization, rank=rank, rank_pipeline=rank_pipeline,
         spectral_io_dtype=spectral_io, fused_mlp=fused_mlp,
         fused_mlp_tile_rows=fused_tile, scan_layers=scan_layers,
+        fused_tail=fused_tail,
     ))
     dcfg = DYffusionConfig(timesteps=horizon, forward_conditioning="none",
                            time_encoding="dynamics", peel_sampler=peel)
@@ -609,6 +611,11 @@ def main():
     # HBM round trip per layer-forward and the skip's read-modify-write)
     fused_mlp = os.environ.get("BENCH_FUSED_MLP", "0") == "1"
     fused_tile = int(os.environ.get("BENCH_FUSED_TILE", "1024"))
+    # BENCH_FUSED_TAIL=1: round-5 boundary-corrected kernel — norm1-apply +
+    # time-scale-shift folded into the VMEM-resident MLP+skip kernel
+    # (ops/fused_mlp.py:fused_block_tail); the normalized tensor never
+    # materializes to HBM (fixes loss mechanism #2 of results/fused_mlp)
+    fused_tail = os.environ.get("BENCH_FUSED_TAIL", "0") == "1"
     # BENCH_SCAN_LAYERS: the 6 homogeneous middle blocks as ONE lax.scan
     # body with stacked params (alone: -4% runtime but 9.4x faster cold
     # compile). BENCH_PEEL: peel the s=0/s=N-1 sampling iterations out of the
@@ -639,7 +646,7 @@ def main():
                                              thresh, factorization, rank,
                                              rank_pipeline, spectral_io,
                                              fused_mlp, fused_tile,
-                                             scan_layers, peel)
+                                             scan_layers, peel, fused_tail)
     names = in_names + forcing_names + ["ocean_fraction"]
     src = SyntheticTimeSeries(names, n_timesteps=window + 1, spatial_shape=(180, 360))
 

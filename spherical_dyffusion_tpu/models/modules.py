@@ -74,7 +74,13 @@ class InstanceNorm2d(nn.Module):
     exact: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, fold: bool = False):
+        """``fold=True`` returns the per-(batch, channel) affine pair
+        ``(A, B)`` with ``norm(x) == x * A + B`` (f32, shape (B, 1, 1, C))
+        instead of the normalized tensor — one stats sweep over x, no
+        materialized output. Consumed by the fused block-tail kernel
+        (ops/fused_mlp.py:fused_block_tail), which applies the fold
+        in-register; param tree identical to the standard path."""
         dtype = x.dtype
         xf = x.astype(jnp.float32)  # fp32 statistics under mixed precision
         mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
@@ -84,10 +90,16 @@ class InstanceNorm2d(nn.Module):
         else:
             mean_sq = jnp.mean(jnp.square(xf), axis=(-3, -2), keepdims=True)
             var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        rstd = jax.lax.rsqrt(var + self.eps)
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        else:
+            scale, bias = jnp.ones(self.features), jnp.zeros(self.features)
+        if fold:
+            return rstd * scale, bias - mean * rstd * scale
+        y = (xf - mean) * rstd
+        if self.affine:
             y = y * scale + bias
         return y.astype(dtype)
 
@@ -200,7 +212,13 @@ class MLP2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
-                 residual: Optional[jax.Array] = None) -> jax.Array:
+                 residual: Optional[jax.Array] = None,
+                 affine: Optional[tuple] = None) -> jax.Array:
+        """``affine``: optional per-(batch, channel) ``(A, B)`` pair — x is
+        then the PRE-norm tensor and the kernel applies ``x * A + B``
+        in-register before the first GEMM (the boundary-corrected block tail,
+        ops/fused_mlp.py:fused_block_tail). On the non-fused fallback the
+        fold is applied by XLA first (numerically equivalent)."""
         drop_active = self.drop_rate > 0.0 and not deterministic
         t = int(round((1.0 - self.drop_rate) * 256))
         interpret = jax.default_backend() == "cpu"
@@ -211,13 +229,26 @@ class MLP2d(nn.Module):
                      # standard path there (params are shared, so safe)
                      and not (interpret and drop_active))
         if use_fused:
-            from ..ops.fused_mlp import FUSED_MLP_AVAILABLE, fused_mlp
+            from ..ops.fused_mlp import (
+                FUSED_MLP_AVAILABLE,
+                fused_block_tail,
+                fused_mlp,
+            )
         if use_fused and FUSED_MLP_AVAILABLE:
             w1, b1 = _DenseParams(self.hidden_features,
                                   name="Dense_0")(x.shape[-1])
             w2, b2 = _DenseParams(self.out_features,
                                   name="Dense_1")(self.hidden_features)
             rng = self.make_rng("dropout") if drop_active else None
+            if affine is not None:
+                return fused_block_tail(
+                    x.astype(self.dtype or x.dtype), affine[0], affine[1],
+                    w1, b1, w2, b2, residual=residual, rng=rng,
+                    drop_rate=self.drop_rate if drop_active else 0.0,
+                    exact_gelu=self.activation == "gelu_exact",
+                    tile_rows=self.fused_tile_rows,
+                    interpret=interpret,
+                )
             return fused_mlp(
                 x.astype(self.dtype or x.dtype), w1, b1, w2, b2,
                 residual=residual, rng=rng,
@@ -226,6 +257,9 @@ class MLP2d(nn.Module):
                 tile_rows=self.fused_tile_rows,
                 interpret=interpret,
             )
+        if affine is not None:
+            x = (x.astype(jnp.float32) * affine[0] + affine[1]).astype(
+                self.dtype or x.dtype)
         act = get_activation(self.activation)
         y = nn.Dense(self.hidden_features, dtype=self.dtype, name="Dense_0",
                      kernel_init=nn.initializers.truncated_normal(0.02))(x)

@@ -53,7 +53,7 @@ try:
 except ImportError:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
-__all__ = ["fused_mlp", "FUSED_MLP_AVAILABLE"]
+__all__ = ["fused_mlp", "fused_block_tail", "FUSED_MLP_AVAILABLE"]
 
 FUSED_MLP_AVAILABLE = PALLAS_AVAILABLE
 
@@ -129,6 +129,131 @@ def _fused_mlp_2d(x2, w1, b1, w2, b2, residual2, seed, *, t: int,
         out_shape=jax.ShapeDtypeStruct((N, C2), x2.dtype),
         interpret=interpret,
     )(*args)
+
+
+def _tail_kernel(x_ref, a_ref, c_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
+                 t: int, exact_gelu: bool, compute_dtype):
+    """Boundary-corrected block tail (round-5 kernel shot): the fused-MLP
+    kernel EXTENDED upstream so its entry sits at a fusion-natural point.
+    Reads the PRE-norm activation tile and applies the whole
+    norm1 -> time-scale-shift chain as one per-(batch, channel) affine
+    ``x * A + C`` (stats + affine folded outside by ``InstanceNorm2d(fold=
+    True)``) before the two GEMMs — the normalized tensor never exists in
+    HBM, which was loss mechanism #1 of the round-4 negative result
+    (results/fused_mlp/README.md "Why" §2).
+
+    rest = [res_ref,] [seed_ref,] y_ref."""
+    refs = list(rest)
+    y_ref = refs.pop()
+    seed_ref = refs.pop() if t > 0 else None
+    res_ref = refs.pop() if refs else None
+
+    if t > 0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
+
+    xn = x_ref[0].astype(jnp.float32) * a_ref[0, 0] + c_ref[0, 0]
+    h = jnp.dot(xn.astype(compute_dtype), w1_ref[:],
+                preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=not exact_gelu)
+    if t > 0:
+        bits = pltpu.prng_random_bits(h.shape)
+        keep = (bits & jnp.uint32(255)) < jnp.uint32(t)
+        h = jnp.where(keep, h * (256.0 / t), 0.0)
+    h = h.astype(compute_dtype)
+    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    y = y + b2_ref[:].astype(jnp.float32)
+    if t > 0:
+        bits2 = pltpu.prng_random_bits(y.shape)
+        keep2 = (bits2 & jnp.uint32(255)) < jnp.uint32(t)
+        y = jnp.where(keep2, y * (256.0 / t), 0.0)
+    if res_ref is not None:
+        y = y + res_ref[0].astype(jnp.float32)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t", "exact_gelu", "tile_rows", "interpret"),
+)
+def _fused_tail_3d(x3, a2, c2, w1, b1, w2, b2, res3, seed, *, t: int,
+                   exact_gelu: bool, tile_rows: int, interpret: bool):
+    B, N, C = x3.shape
+    H = w1.shape[1]
+    C2 = w2.shape[1]
+    tn = min(tile_rows, N)
+    grid = (B, pl.cdiv(N, tn))
+    in_specs = [
+        pl.BlockSpec((1, tn, C), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((C, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((H, C2), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, C2), lambda b, i: (0, 0)),
+    ]
+    args = [x3, a2, c2, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1)]
+    if res3 is not None:
+        in_specs.append(pl.BlockSpec((1, tn, C2), lambda b, i: (b, i, 0)))
+        args.append(res3)
+    if t > 0:
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.SMEM)
+            if hasattr(pltpu, "SMEM")
+            else pl.BlockSpec((1,), lambda b, i: (0,))
+        )
+        args.append(seed)
+    kern = functools.partial(
+        _tail_kernel, t=t, exact_gelu=exact_gelu, compute_dtype=x3.dtype,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn, C2), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C2), x3.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_block_tail(x, affine_a, affine_c, w1, b1, w2, b2, residual=None,
+                     rng=None, *, drop_rate: float = 0.0,
+                     exact_gelu: bool = False, tile_rows: int = 1024,
+                     interpret: bool = False):
+    """Fused norm-apply + time-scale-shift + MLP + outer-skip.
+
+    x: (B, ..., C) PRE-norm activations; ``affine_a``/``affine_c``: f32
+    per-(batch, channel) fold of instance-norm statistics + affine + time
+    scale-shift, broadcastable as (B, 1, ..., 1, C) — the kernel computes
+    ``x * A + C`` per tile and never materializes the normalized tensor.
+    residual: optional (B, ..., C2) outer skip added in-kernel.
+    """
+    t_raw = int(round((1.0 - drop_rate) * 256)) if drop_rate > 0.0 else 256
+    if t_raw <= 0:
+        raise ValueError(f"fused_block_tail: drop_rate {drop_rate} quantizes "
+                         "to keep-nothing; use the standard path")
+    t = 0 if t_raw >= 256 else t_raw
+    B = x.shape[0]
+    lead = x.shape[:-1]
+    x3 = x.reshape(B, -1, x.shape[-1])
+    a2 = jnp.reshape(affine_a.astype(jnp.float32), (B, 1, x.shape[-1]))
+    c2 = jnp.reshape(affine_c.astype(jnp.float32), (B, 1, x.shape[-1]))
+    res3 = (residual.reshape(B, -1, residual.shape[-1])
+            if residual is not None else None)
+    if t > 0:
+        if rng is None:
+            raise ValueError("fused_block_tail: drop_rate > 0 requires rng")
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(rng, (1,), jnp.uint32), jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    y3 = _fused_tail_3d(
+        x3, a2, c2, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2, res3,
+        seed, t=t, exact_gelu=exact_gelu, tile_rows=tile_rows,
+        interpret=interpret,
+    )
+    return y3.reshape(*lead, y3.shape[-1])
 
 
 def fused_mlp(x, w1, b1, w2, b2, residual=None, rng=None, *,

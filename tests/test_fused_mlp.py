@@ -108,3 +108,49 @@ def test_sfno_fused_dropout_falls_back_on_cpu():
     # dropout actually fired (outputs differ from deterministic)
     y_det = model.apply(params, x)
     assert not np.allclose(np.asarray(y), np.asarray(y_det))
+
+
+def test_tail_kernel_matches_affine_plus_mlp():
+    """fused_block_tail (round-5 boundary-corrected variant): the in-kernel
+    per-(batch,channel) affine + GEMM + gelu + GEMM + skip must match the
+    plain-jnp composition exactly under the interpreter."""
+    from spherical_dyffusion_tpu.ops.fused_mlp import fused_block_tail
+
+    r = np.random.default_rng(7)
+    B = 2
+    x = _rand(r, B, 8, 16, 12)
+    A = _rand(r, B, 1, 1, 12) + 1.0
+    C = _rand(r, B, 1, 1, 12)
+    w1, b1 = _rand(r, 12, 24), _rand(r, 24)
+    w2, b2 = _rand(r, 24, 12), _rand(r, 12)
+    res = _rand(r, B, 8, 16, 12)
+    y = fused_block_tail(x, A, C, w1, b1, w2, b2, residual=res,
+                         tile_rows=64, interpret=True)
+    xn = x * A + C
+    ref = jax.nn.gelu(xn @ w1 + b1, approximate=True) @ w2 + b2 + res
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=0, atol=2e-6)
+
+
+def test_sfno_fused_tail_shares_param_tree_and_matches():
+    """fused_tail=True: identical checkpoint tree, and the folded
+    norm1+time-scale-shift+MLP+skip forward matches the standard block to
+    accumulation noise (fold reassociates the norm affine in f32)."""
+    x = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, 16, 32, 3)), jnp.float32)
+    t = jnp.asarray([1.0, 2.0])
+    kw = dict(with_time_emb=True, min_time=0, max_time=3,
+              time_scale_shift_before_filter=False)
+    std = SFNO(_sfno_cfg(fused_mlp=False, **kw))
+    fus = SFNO(_sfno_cfg(fused_tail=True, **kw))
+    p_std = std.init(jax.random.PRNGKey(0), x, time=t)
+    p_fus = fus.init(jax.random.PRNGKey(0), x, time=t)
+    flat_s = jax.tree_util.tree_flatten_with_path(p_std)
+    flat_f = jax.tree_util.tree_flatten_with_path(p_fus)
+    assert [k for k, _ in flat_s[0]] == [k for k, _ in flat_f[0]]
+    for (_, a), (_, b) in zip(flat_s[0], flat_f[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y_std = std.apply(p_std, x, time=t)
+    y_fus = fus.apply(p_fus, x, time=t)
+    np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_std),
+                               rtol=0, atol=5e-5)
