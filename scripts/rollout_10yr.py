@@ -17,8 +17,13 @@ the production path end to end at scale. The trained-model stability
 evidence over the same 14,600 steps lives in results/stability_10yr/
 (scripts/skill_proof.py --rollout-steps 14600 on the skill-proof system).
 
-Usage: python scripts/rollout_10yr.py [--steps 14600] [--window 48]
-       [--out results/rollout_10yr] [--writer]
+Usage: python scripts/rollout_10yr.py [--steps 14600] [--window 96]
+       [--out results/rollout_10yr] [--writer] [--fast]
+
+Round-5 refresh: defaults now match the round-4 headline program
+(scan_layers + peel_sampler, window 96, bf16-emitted predictions); --fast
+adds the skill-validated fast configuration (CP rank 0.25 + spectral
+truncation 0.8 + bf16 spectral IO, results/skill_fast08 + skill_spectral_io).
 """
 
 from __future__ import annotations
@@ -35,9 +40,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=14600)
-    ap.add_argument("--window", type=int, default=48,
-                    help="<=48 when consuming outputs (resident preds x "
-                         "pipeline depth HBM bound, see CLAUDE.md)")
+    ap.add_argument("--window", type=int, default=96,
+                    help="single-member window 96 fits the consumer path "
+                         "(auto_window_cap guards the resident-preds HBM "
+                         "estimate; bf16-emitted preds halve it)")
     ap.add_argument("--out", default="results/rollout_10yr")
     ap.add_argument("--embed", type=int, default=256)
     ap.add_argument("--layers", type=int, default=8)
@@ -51,11 +57,25 @@ def main(argv=None):
     ap.add_argument("--params-dtype", default=None,
                     help="weight STORAGE dtype (bfloat16 halves weight HBM "
                          "reads; identical numerics under bf16 compute)")
-    ap.add_argument("--preds-dtype", default=None,
+    ap.add_argument("--preds-dtype", default="bfloat16",
                     help="emitted-prediction dtype (bfloat16 halves the "
                          "resident window buffer + fetch bytes; the AR "
                          "hand-off stays full precision)")
+    ap.add_argument("--no-scan-layers", dest="scan_layers",
+                    action="store_false",
+                    help="revert to unrolled middle blocks (round-4 default "
+                         "is the scanned layout)")
+    ap.add_argument("--no-peel", dest="peel", action="store_false",
+                    help="revert the peeled sampler (NEVER peel without "
+                         "scan_layers at paper scale — remote-compile hang)")
+    ap.add_argument("--fast", action="store_true",
+                    help="skill-validated fast config: CP rank 0.25 + "
+                         "spectral truncation 0.8 + bf16 spectral IO "
+                         "(results/skill_fast08, skill_spectral_io)")
     args = ap.parse_args(argv)
+    if args.peel and not args.scan_layers:
+        ap.error("--no-scan-layers requires --no-peel (peel without scanned "
+                 "blocks is the documented remote-compile hang)")
 
     import jax
 
@@ -79,10 +99,14 @@ def main(argv=None):
     )
 
     os.makedirs(args.out, exist_ok=True)
+    fast = dict(factorization="cp", rank=0.25, thresh=0.8,
+                spectral_io="bfloat16") if args.fast else {}
     stepper, in_names, forcing_names = build(args.embed, args.layers,
                                              args.dtype,
                                              params_dtype=args.params_dtype,
-                                             preds_dtype=args.preds_dtype)
+                                             preds_dtype=args.preds_dtype,
+                                             scan_layers=args.scan_layers,
+                                             peel=args.peel, **fast)
     names = in_names + forcing_names + ["ocean_fraction"]
     # n_timesteps == window aligns the repeating reads: every window's wrapped
     # offsets coincide, so the per-window forcing/target uploads hit the
@@ -133,6 +157,9 @@ def main(argv=None):
             "steps": args.steps, "window": args.window,
             "embed": args.embed, "layers": args.layers,
             "writer": bool(args.writer),
+            "scan_layers": args.scan_layers, "peel_sampler": args.peel,
+            "fast": bool(args.fast), "dtype": args.dtype,
+            "preds_dtype": args.preds_dtype,
             "note": "random-init weights; production-path evidence "
                     "(throughput, host fractions, aggregator) — trained-model "
                     "stability lives in results/stability_10yr/",
@@ -142,6 +169,11 @@ def main(argv=None):
             "duration_s": round(summary["duration_s"], 1),
             "steps_per_second": round(sps, 3),
             "sim_years_per_day": round(sps * 86400.0 / STEPS_PER_SIM_YEAR, 1),
+            "steady_steps_per_second": round(
+                summary["steady_steps_per_second"], 3),
+            "steady_sim_years_per_day": round(
+                summary["steady_steps_per_second"] * 86400.0
+                / STEPS_PER_SIM_YEAR, 1),
         },
         "host_fractions": {
             "data_loading": round(
@@ -167,7 +199,8 @@ def main(argv=None):
     with open(os.path.join(args.out, "metrics_full.json"), "w") as f:
         json.dump({k: float(v) for k, v in logs.items()}, f, indent=1)
     print(json.dumps(artifact["throughput"] | artifact["host_fractions"]
-                     | {"finite": finite, "wall_s": round(wall, 1)}))
+                     | {"finite": finite, "wall_s": round(wall, 1),
+                        "fast": bool(args.fast)}))
 
 
 if __name__ == "__main__":

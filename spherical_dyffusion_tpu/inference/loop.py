@@ -68,6 +68,17 @@ class InferenceConfig:
     # (n_timesteps a multiple of the window) or raise this cap to stay fully
     # cached.
     upload_cache_entries: int = 8
+    # host-side window READ cache (companion to the device upload cache
+    # below): with n_repeats > 1, windows whose wrapped read offsets coincide
+    # carry identical data, so re-reading them from the source each cycle is
+    # pure waste — for generated sources (SyntheticTimeSeries and friends) the
+    # per-window regeneration was measured at ~39% of 10-year-rollout wall
+    # time on the 1-core host (results/rollout_10yr round-3 artifact). Each
+    # entry holds one window's host arrays (~1 GB at window 96 x 38 names), so
+    # the cap is small; aligned sources (n_timesteps a multiple of the window)
+    # need exactly one entry. 0 disables. Semantics-preserving: read_window is
+    # a pure function of (start, length, names) for every TimeSeriesSource.
+    host_read_cache_entries: int = 2
     # resident-preds HBM guard: the emitted prediction buffer is
     # rows x window x H x W x C_out x itemsize, and the async pipeline holds
     # ~2.5 windows of it (the window being computed, its denormalized copy
@@ -108,6 +119,7 @@ class InferenceWindows:
         self.names = list(names)
         self.cfg = cfg
         self.start_indices = list(cfg.start_indices)
+        self._read_cache: Dict[tuple, Dict[str, np.ndarray]] = {}
         n_avail = source.n_timesteps * cfg.n_repeats - max(self.start_indices)
         if cfg.n_forward_steps + 1 > n_avail:
             raise ValueError(
@@ -143,13 +155,23 @@ class InferenceWindows:
         T = cfg.forward_steps_in_memory
         step = 0
         multi = len(self.start_indices) > 1
+        n = self.source.n_timesteps
+        cap = cfg.host_read_cache_entries if cfg.n_repeats > 1 else 0
         while step < cfg.n_forward_steps:
             length = min(T, cfg.n_forward_steps - step) + 1
-            if not multi:
-                data = self._read(self.start_indices[0] + step, length)
-            else:
-                per_ic = [self._read(s + step, length) for s in self.start_indices]
-                data = {k: np.stack([d[k] for d in per_ic]) for k in per_ic[0]}
+            key = (
+                tuple((s + step) % n for s in self.start_indices) + (length,)
+                if cap > 0 else None
+            )
+            data = self._read_cache.get(key) if key is not None else None
+            if data is None:
+                if not multi:
+                    data = self._read(self.start_indices[0] + step, length)
+                else:
+                    per_ic = [self._read(s + step, length) for s in self.start_indices]
+                    data = {k: np.stack([d[k] for d in per_ic]) for k in per_ic[0]}
+                if key is not None and len(self._read_cache) < cap:
+                    self._read_cache[key] = data
             yield step, data
             step += length - 1
 
@@ -330,6 +352,7 @@ def run_inference(
 
     it = prefetched(_with_targets(iter(windows)), depth=2)
     n_done = 0
+    window_wall: list = []  # (n_steps, wall_s) per window for steady-state stats
     pending = []  # deferred (device preds, window data) awaiting host work
 
     def _drain(item):
@@ -347,10 +370,10 @@ def run_inference(
             preds_raw_host = preds_raw_host.astype(np.float32)
         for ic in range(n_ic):
             if aggregator is not None:
-                aggregator.record_batch(
-                    preds_raw[ic * E : (ic + 1) * E], w_tgt_dev[ic],
-                    start_step=w_start,
-                )
+                # single-IC fast path: avoid the device-slice dispatch (each
+                # eager op through the axon tunnel costs a round trip)
+                p = preds_raw if n_ic == 1 else preds_raw[ic * E : (ic + 1) * E]
+                aggregator.record_batch(p, w_tgt_dev[ic], start_step=w_start)
             if writer is not None:
                 targets_raw = np.stack(
                     [_ic_view(w_data[n])[ic, 1 : w_steps + 1] for n in out_names],
@@ -359,7 +382,8 @@ def run_inference(
                 writer.append(preds_raw_host[ic * E : (ic + 1) * E], targets_raw)
 
     while True:
-        t0 = time.time()
+        t_win = time.time()
+        t0 = t_win
         try:
             start_step, data, tgt_dev = next(it)
         except StopIteration:
@@ -453,6 +477,7 @@ def run_inference(
             _drain(pending.pop(0))
         timers["writer_and_aggregator"] += time.time() - t0
         n_done += n_steps
+        window_wall.append((n_steps, time.time() - t_win))
         if verbose:
             el = time.time() - t_start
             print(
@@ -475,10 +500,17 @@ def run_inference(
             "window or raise InferenceConfig.upload_cache_entries.",
             flush=True,
         )
+    # steady-state throughput: median per-step wall over full-size windows
+    # after warmup (the first window often carries compiles / cache fills)
+    steady = [w / s for s, w in window_wall[1:]
+              if s == cfg.forward_steps_in_memory]
     summary = {
         "n_forward_steps": n_done,
         "duration_s": duration,
         "total_steps_per_second": n_done * n_ic * E / duration,
+        "steady_steps_per_second": (
+            n_ic * E / float(np.median(steady)) if steady else float("nan")
+        ),
         "upload_cache_skips": _cache_skips[0],
         **{f"time/{k}": v for k, v in timers.items()},
     }
