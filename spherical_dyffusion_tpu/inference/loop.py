@@ -488,6 +488,16 @@ def run_inference(
     t0 = time.time()
     for item in pending:  # flush the last window's deferred host work
         _drain(item)
+    # HONEST throughput accounting: everything above is async dispatch — the
+    # host loop can run windows ahead of the device (especially with the
+    # read/upload caches removing host-side throttles). Block on the carried
+    # state (synchronizes the chained window programs) and on an aggregator
+    # accumulator (synchronizes the reduce chain) so duration_s includes
+    # device completion of every step, not just its enqueue.
+    jax.block_until_ready(x_norm)
+    tm = getattr(aggregator, "time_mean", None)
+    if tm is not None and tm._pred_mean is not None:
+        jax.block_until_ready(tm._pred_mean)
     timers["writer_and_aggregator"] += time.time() - t0
 
     duration = time.time() - t_start
@@ -500,17 +510,22 @@ def run_inference(
             "window or raise InferenceConfig.upload_cache_entries.",
             flush=True,
         )
-    # steady-state throughput: median per-step wall over full-size windows
-    # after warmup (the first window often carries compiles / cache fills)
-    steady = [w / s for s, w in window_wall[1:]
-              if s == cfg.forward_steps_in_memory]
+    # steady-state throughput: completion-rate over everything after the
+    # first window (which carries compiles / cache fills). Per-window walls
+    # measure DISPATCH in the async pipeline, so the steady figure is instead
+    # (total − first window) against the end-synced duration — both
+    # numerator and denominator are device-completion quantities.
+    if len(window_wall) > 1:
+        w0_steps, w0_wall = window_wall[0]
+        steady_sps = (n_done - w0_steps) * n_ic * E / max(
+            duration - w0_wall, 1e-9)
+    else:
+        steady_sps = float("nan")
     summary = {
         "n_forward_steps": n_done,
         "duration_s": duration,
         "total_steps_per_second": n_done * n_ic * E / duration,
-        "steady_steps_per_second": (
-            n_ic * E / float(np.median(steady)) if steady else float("nan")
-        ),
+        "steady_steps_per_second": steady_sps,
         "upload_cache_skips": _cache_skips[0],
         **{f"time/{k}": v for k, v in timers.items()},
     }
