@@ -328,4 +328,8 @@ class DropPath(nn.Module):
         rng = self.make_rng("dropout")
         mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, mask_shape)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+        # rescale in x.dtype: a traced `rate` (scan-layers xs) is a strong f32
+        # scalar and `x / keep` would promote bf16 activations to f32 —
+        # breaking the blocks_mid scan's carry dtype under mixed precision
+        scale = jnp.asarray(1.0 / keep, x.dtype)
+        return jnp.where(mask, x * scale, jnp.zeros_like(x))

@@ -90,10 +90,11 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t", "exact_gelu", "tile_rows", "interpret"),
+    static_argnames=("t", "exact_gelu", "tile_rows", "interpret", "out_dtype"),
 )
 def _fused_mlp_2d(x2, w1, b1, w2, b2, residual2, seed, *, t: int,
-                  exact_gelu: bool, tile_rows: int, interpret: bool):
+                  exact_gelu: bool, tile_rows: int, interpret: bool,
+                  out_dtype=None):
     N, C = x2.shape
     H = w1.shape[1]
     C2 = w2.shape[1]
@@ -126,7 +127,7 @@ def _fused_mlp_2d(x2, w1, b1, w2, b2, residual2, seed, *, t: int,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tn, C2), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, C2), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, C2), out_dtype or x2.dtype),
         interpret=interpret,
     )(*args)
 
@@ -175,10 +176,11 @@ def _tail_kernel(x_ref, a_ref, c_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t", "exact_gelu", "tile_rows", "interpret"),
+    static_argnames=("t", "exact_gelu", "tile_rows", "interpret", "out_dtype"),
 )
 def _fused_tail_3d(x3, a2, c2, w1, b1, w2, b2, res3, seed, *, t: int,
-                   exact_gelu: bool, tile_rows: int, interpret: bool):
+                   exact_gelu: bool, tile_rows: int, interpret: bool,
+                   out_dtype=None):
     B, N, C = x3.shape
     H = w1.shape[1]
     C2 = w2.shape[1]
@@ -212,7 +214,7 @@ def _fused_tail_3d(x3, a2, c2, w1, b1, w2, b2, res3, seed, *, t: int,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tn, C2), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, N, C2), x3.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N, C2), out_dtype or x3.dtype),
         interpret=interpret,
     )(*args)
 
@@ -227,7 +229,11 @@ def fused_block_tail(x, affine_a, affine_c, w1, b1, w2, b2, residual=None,
     per-(batch, channel) fold of instance-norm statistics + affine + time
     scale-shift, broadcastable as (B, 1, ..., 1, C) — the kernel computes
     ``x * A + C`` per tile and never materializes the normalized tensor.
-    residual: optional (B, ..., C2) outer skip added in-kernel.
+    residual: optional (B, ..., C2) outer skip added in-kernel; the output
+    dtype is then ``promote_types(x, residual)`` to match the standard
+    path's ``y + residual`` (the block residual stream rides f32 under
+    mixed precision — fp32-pinned spectral transforms — and the blocks_mid
+    scan carry requires a dtype-stable block output).
     """
     t_raw = int(round((1.0 - drop_rate) * 256)) if drop_rate > 0.0 else 256
     if t_raw <= 0:
@@ -248,10 +254,12 @@ def fused_block_tail(x, affine_a, affine_c, w1, b1, w2, b2, residual=None,
             jax.random.bits(rng, (1,), jnp.uint32), jnp.int32)
     else:
         seed = jnp.zeros((1,), jnp.int32)
+    out_dtype = (jnp.promote_types(x.dtype, residual.dtype)
+                 if residual is not None else x.dtype)
     y3 = _fused_tail_3d(
         x3, a2, c2, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2, res3,
         seed, t=t, exact_gelu=exact_gelu, tile_rows=tile_rows,
-        interpret=interpret,
+        interpret=interpret, out_dtype=jnp.dtype(out_dtype),
     )
     return y3.reshape(*lead, y3.shape[-1])
 
@@ -281,8 +289,11 @@ def fused_mlp(x, w1, b1, w2, b2, residual=None, rng=None, *,
             jax.random.bits(rng, (1,), jnp.uint32), jnp.int32)
     else:
         seed = jnp.zeros((1,), jnp.int32)
+    out_dtype = (jnp.promote_types(x.dtype, residual.dtype)
+                 if residual is not None else x.dtype)
     y2 = _fused_mlp_2d(
         x2, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2, res2, seed,
         t=t, exact_gelu=exact_gelu, tile_rows=tile_rows, interpret=interpret,
+        out_dtype=jnp.dtype(out_dtype),
     )
     return y2.reshape(*lead, y2.shape[-1])

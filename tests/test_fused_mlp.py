@@ -154,3 +154,51 @@ def test_sfno_fused_tail_shares_param_tree_and_matches():
     y_fus = fus.apply(p_fus, x, time=t)
     np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_std),
                                rtol=0, atol=5e-5)
+
+
+def test_scan_carry_dtype_stable_mixed_precision_mc_dropout():
+    """Regression (round 5): under compute_dtype=bfloat16 the block residual
+    stream rides f32 (fp32-pinned spectral transforms), so every FNOBlock
+    must emit the same promoted dtype whether the outer skip is added
+    in-kernel (fused_tail / fused_mlp with residual) or outside — otherwise
+    the blocks_mid lax.scan carry changes dtype between the unrolled first
+    block and the scanned body. Reproduces the BENCH_FUSED_TAIL=1 failure:
+    scan_layers + bf16 + MC dropout + traced per-layer drop_path rates."""
+    import spherical_dyffusion_tpu.models.modules as mod
+
+    orig = jax.default_backend
+    try:
+        # force the fused (non-interpret) trace path without a TPU: only
+        # shapes/dtypes are checked, nothing executes
+        jax.default_backend = lambda: "tpu"
+        for tail in (False, True):
+            cfg = _sfno_cfg(
+                embed_dim=16, num_layers=4, with_time_emb=True,
+                compute_dtype="bfloat16", scan_layers=True, fused_tail=tail,
+                dropout_mlp=0.1, drop_path_rate=0.1, min_time=1, max_time=3)
+            model = SFNO(cfg)
+            x = jnp.ones((1, 16, 32, 3), jnp.float32)
+            t = jnp.asarray([1.0])
+            shapes = jax.eval_shape(
+                lambda r: model.init(r, x, time=t), jax.random.PRNGKey(0))
+            out = jax.eval_shape(
+                lambda p, r: model.apply(p, x, time=t, deterministic=False,
+                                         rngs={"dropout": r}),
+                shapes, jax.random.PRNGKey(1))
+            assert out.shape == (1, 16, 32, 3)
+    finally:
+        jax.default_backend = orig
+
+
+def test_droppath_preserves_dtype_with_traced_rate():
+    """DropPath with a traced f32 rate (scan xs) must not promote bf16
+    activations to f32 (regression: x / keep promoted the scan carry)."""
+    from spherical_dyffusion_tpu.models.modules import DropPath
+
+    dp = DropPath(0.0)
+    x = jnp.ones((2, 4, 4, 8), jnp.bfloat16)
+    out = jax.eval_shape(
+        lambda x, r, k: dp.apply({}, x, deterministic=False, rate=r,
+                                 rngs={"dropout": k}),
+        x, jnp.float32(0.05), jax.random.PRNGKey(0))
+    assert out.dtype == jnp.bfloat16
