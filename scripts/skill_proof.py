@@ -358,8 +358,12 @@ def main(argv=None) -> dict:
     # ensemble has SSR ~ 1 at EVERY horizon (reference's paper-level claim;
     # spread knobs = interpolator dropout rate x prediction_inputs_noise).
     # The validated chaotic-system recipe lives in
-    # results/skill_chaotic_calibrated/README.md.
-    ssr_lo, ssr_hi = 0.8, 1.2
+    # results/skill_chaotic_calibrated/README.md. Ceiling tightened 1.2 ->
+    # 1.15 (round 5): the achieved band is 0.80-1.07 and the centering study
+    # (results/skill_chaotic_centered) showed the floor margin cannot be
+    # bought without paying RMSE — matched-rate dropout training
+    # self-calibrates back to the same under-dispersed fixed point.
+    ssr_lo, ssr_hi = 0.8, 1.15
     report["calibration"] = {
         "ssr_bounds": [ssr_lo, ssr_hi],
         "cold_ssr": {f"h{h}": cold_eval[f"h{h}/ssr"]

@@ -97,16 +97,18 @@ def test_chaotic_system_learnable_and_finite(chaotic_report):
 
 def test_calibration_gate_emitted(chaotic_report):
     """Round-4 (verdict #4): skill_proof emits the SSR calibration gate —
-    bounds [0.8, 1.2], per-horizon cold SSR, and a pass verdict. The
-    full-size recipe that PASSES the gate (interpolator dropout 0.5 x
-    inputs_noise 0.2) is committed in results/skill_chaotic_calibrated/;
-    mini-preset SSR values are too noisy to pin here, only the contract."""
+    bounds [0.8, 1.15] (ceiling tightened round 5, see
+    results/skill_chaotic_centered), per-horizon cold SSR, and a pass
+    verdict. The full-size recipe that PASSES the gate (interpolator
+    dropout 0.5 x inputs_noise 0.2) is committed in
+    results/skill_chaotic_calibrated/; mini-preset SSR values are too
+    noisy to pin here, only the contract."""
     cal = chaotic_report["calibration"]
-    assert cal["ssr_bounds"] == [0.8, 1.2]
+    assert cal["ssr_bounds"] == [0.8, 1.15]
     horizon = max(int(k[1:]) for k in cal["cold_ssr"])
     assert set(cal["cold_ssr"]) == {f"h{h}" for h in range(1, horizon + 1)}
     assert all(np.isfinite(v) for v in cal["cold_ssr"].values())
-    expected = all(0.8 <= v <= 1.2 for v in cal["cold_ssr"].values())
+    expected = all(0.8 <= v <= 1.15 for v in cal["cold_ssr"].values())
     assert cal["pass"] == expected
 
 
