@@ -119,6 +119,16 @@ class TrainerConfig:
     # log points — the layer-resolution signal (which block's gradients
     # explode/vanish) at scalar cost instead of per-weight histogram fetches.
     watch_model: bool = False
+    # Full WatchModel parity leg: per-top-level-subtree gradient-value
+    # HISTOGRAMS (64 bins, edges computed on device from the step's
+    # min/max), emitted at log points in the wandb wire format
+    # ({"_type": "histogram", "values": counts, "bins": edges}) — what
+    # wandb.watch(log="all") records per weight (reference
+    # wandb_callbacks.py:22-33). Device cost is one histogram reduction per
+    # subtree inside the jitted step; host transfer is 129 floats per
+    # subtree per log point. Implies the layer-resolution signal of
+    # watch_model at histogram fidelity.
+    watch_histograms: bool = False
     # upload saved checkpoints into the wandb run's cloud files through the
     # logger (the reference's MyWandbLogger save_to_wandb leg,
     # wandb_callbacks.py:74-140 via wandb.save); needs a fit(logger=...)
@@ -141,6 +151,37 @@ def _grad_norm_table(grads, per_subtree: bool) -> dict:
         for k, v in grads.items():
             out[f"grad_norm/{k}"] = optax.global_norm(v)
     return out
+
+
+def _grad_histogram_table(grads, bins: int = 64) -> dict:
+    """Per-top-level-subtree gradient-value histograms, computed inside the
+    jitted step (TrainerConfig.watch_histograms — the full WatchModel
+    fidelity, reference wandb_callbacks.py:22-33 / wandb.watch(log="all")).
+    jnp.histogram with integer ``bins`` derives the edges from the step's
+    data min/max on device — shapes stay static (bins counts + bins+1
+    edges), only values are dynamic, so this jits cleanly."""
+    out = {}
+    if not hasattr(grads, "items"):
+        return out
+    for k, v in grads.items():
+        flat = jnp.concatenate(
+            [jnp.ravel(x) for x in jax.tree_util.tree_leaves(v)])
+        counts, edges = jnp.histogram(flat, bins=bins)
+        out[f"grad_hist/{k}"] = (counts, edges)
+    return out
+
+
+def _histogram_wire(value) -> dict:
+    """Convert a (counts, edges) device pair into the wandb file_stream
+    histogram payload ({"_type": "histogram", "values": ..., "bins": ...})
+    — the exact dict the SDK writes, so the native client's log_history
+    (and the JSONL system of record) carry it unchanged."""
+    counts, edges = value
+    import numpy as _np
+
+    return {"_type": "histogram",
+            "values": [int(c) for c in _np.asarray(counts)],
+            "bins": [float(b) for b in _np.asarray(edges)]}
 
 
 def chunked_vmap(fn: Callable, keys: jnp.ndarray, chunk: Optional[int] = None):
@@ -377,6 +418,8 @@ class Trainer:
             if ema is not None:
                 ema = ema_update(ema, params, cfg.ema_decay)
             metrics = dict(metrics, **_grad_norm_table(grads, cfg.watch_model))
+            if cfg.watch_histograms:
+                metrics = dict(metrics, **_grad_histogram_table(grads))
             return (
                 TrainState(params=params, opt_state=opt_state, ema=ema, step=state.step + 1),
                 metrics,
@@ -457,6 +500,8 @@ class Trainer:
             if ema is not None:
                 ema = ema_update(ema, params, cfg.ema_decay)
             metrics = dict(metrics, **_grad_norm_table(grads, cfg.watch_model))
+            if cfg.watch_histograms:
+                metrics = dict(metrics, **_grad_histogram_table(grads))
             return (
                 TrainState(params=params, opt_state=opt_state, ema=ema,
                            step=state.step + 1),
@@ -546,7 +591,8 @@ class Trainer:
                     # flushed below together with the epoch's loss list,
                     # keyed by their true step numbers
                     gkeys = {k: v for k, v in metrics.items()
-                             if k == "grad_norm" or k.startswith("grad_norm/")}
+                             if k == "grad_norm" or k.startswith("grad_norm/")
+                             or k.startswith("grad_hist/")}
                     pending_logs.append((step, metrics["loss"], gkeys))
                 step += 1
             losses = [float(x) for x in losses]
@@ -557,7 +603,10 @@ class Trainer:
             for s_, l_, g_ in pending_logs:
                 logger.log(
                     {"train/loss": float(l_),
-                     **{f"train/{k}": float(v) for k, v in g_.items()}},
+                     **{f"train/{k}":
+                        (_histogram_wire(v) if k.startswith("grad_hist/")
+                         else float(v))
+                        for k, v in g_.items()}},
                     step=s_,
                 )
             mean_loss = float(np.mean(losses)) if losses else float("nan")

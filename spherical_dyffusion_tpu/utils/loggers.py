@@ -32,6 +32,11 @@ class JsonlLogger:
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
         row = {"_step": step, "_time": time.time()}
         for k, v in metrics.items():
+            if isinstance(v, dict):
+                # structured payloads (e.g. wandb histogram wire dicts from
+                # watch_histograms) are already JSON-ready — keep them intact
+                row[k] = v
+                continue
             try:
                 row[k] = float(v)
             except (TypeError, ValueError):

@@ -468,3 +468,54 @@ def test_trainer_save_to_wandb_and_watch_model(server, srv_obj, tmp_path,
     assert sub_keys, f"no per-subtree grad norms in {sorted(rows[0])}"
     glob = [r["train/grad_norm"] for r in rows if "train/grad_norm" in r]
     assert glob and all(g > 0 for g in glob)
+
+
+def test_trainer_watch_histograms(server, srv_obj, tmp_path, monkeypatch):
+    """Round 5: the full WatchModel fidelity leg — watch_histograms=True
+    emits per-subtree gradient-value histograms in the wandb wire format
+    ({"_type": "histogram", "values": counts, "bins": edges}) through the
+    native client's file_stream, intact (reference wandb.watch(log="all"),
+    wandb_callbacks.py:22-33)."""
+    from spherical_dyffusion_tpu.data import DebugDataModule
+    from spherical_dyffusion_tpu.models import SFNO, SFNOConfig
+    from spherical_dyffusion_tpu.training import (
+        ExperimentConfig,
+        InterpolationExperiment,
+        Trainer,
+        TrainerConfig,
+    )
+    from spherical_dyffusion_tpu.utils.loggers import WandbLogger
+
+    monkeypatch.setenv("WANDB_BASE_URL", server)
+    monkeypatch.setenv("WANDB_API_KEY", API_KEY)
+    monkeypatch.setenv("WANDB_ENTITY", ENTITY)
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=3,
+                         n_forcing=1, batch_size=4, n_timesteps=16)
+    model = SFNO(SFNOConfig(img_shape=(8, 16), in_chans=5, out_chans=2,
+                            embed_dim=8, num_layers=1, with_time_emb=True,
+                            min_time=1, max_time=2))
+    exp = InterpolationExperiment(model, ExperimentConfig(horizon=3),
+                                  dm.in_packer, dm.out_packer, dm.normalizer)
+    trainer = Trainer(exp, dm, TrainerConfig(
+        epochs=1, steps_per_epoch=2, warmup_steps=1, use_ema=False,
+        log_every=1, watch_histograms=True, code_snapshot=False))
+    lg = WandbLogger(project=PROJECT, name="histrun1")
+    trainer.fit(verbose=False, val_every=10**9, logger=lg)
+    lg.finish()
+    rows = srv_obj.ingested["histrun1"]
+    hists = {k: r[k] for r in rows for k in r if k.startswith("train/grad_hist/")}
+    assert hists, f"no grad histograms in {sorted(rows[0])}"
+    # count the subtree's parameters to check the histogram mass
+    import jax
+    import numpy as np
+
+    params = trainer.state.params
+    tree = params.get("params", params)
+    for key, h in hists.items():
+        assert h["_type"] == "histogram"
+        assert len(h["values"]) == 64 and len(h["bins"]) == 65
+        assert all(b2 >= b1 for b1, b2 in zip(h["bins"], h["bins"][1:]))
+        sub = key.split("train/grad_hist/", 1)[1]
+        n = sum(int(np.prod(np.shape(x)))
+                for x in jax.tree_util.tree_leaves(tree[sub]))
+        assert sum(h["values"]) == n, (key, sum(h["values"]), n)
