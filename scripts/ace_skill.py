@@ -53,6 +53,7 @@ def main(argv=None) -> dict:
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--ics", type=int, default=8,
                     help="initial conditions scored per config")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     import jax
@@ -116,7 +117,8 @@ def main(argv=None) -> dict:
 
     leads = sorted({1, 2, 4, 8, 16, R} & set(range(1, R + 1)))
     report = {"preset": args.preset, "system": args.system, "params": P,
-              "rollout_steps": R, "ics": args.ics, "configs": {}}
+              "rollout_steps": R, "ics": args.ics, "seed": args.seed,
+              "configs": {}}
     t_all = time.time()
 
     for name in args.configs.split(","):
@@ -136,7 +138,7 @@ def main(argv=None) -> dict:
         )
         tr = Trainer(exp, dm, TrainerConfig(
             lr=P["lr"], epochs=P["epochs"], use_ema=True, warmup_steps=50,
-            steps_per_epoch=P["steps_per_epoch"], seed=0,
+            steps_per_epoch=P["steps_per_epoch"], seed=args.seed,
         ))
         t0 = time.time()
         hist = tr.fit_in_memory(verbose=False, val_every=10**9)
