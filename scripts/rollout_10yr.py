@@ -72,6 +72,12 @@ def main(argv=None):
                     help="skill-validated fast config: CP rank 0.25 + "
                          "spectral truncation 0.8 + bf16 spectral IO "
                          "(results/skill_fast08, skill_spectral_io)")
+    ap.add_argument("--targets-dtype", default="float32",
+                    help="dtype of the pre-uploaded target windows the "
+                         "device aggregator reduces against (bfloat16 "
+                         "halves target upload bytes + HBM residency; "
+                         "metrics quantize the truth to bf16 — see "
+                         "InferenceConfig.targets_dtype)")
     args = ap.parse_args(argv)
     if args.peel and not args.scan_layers:
         ap.error("--no-scan-layers requires --no-peel (peel without scanned "
@@ -121,12 +127,14 @@ def main(argv=None):
     icfg = InferenceConfig(
         n_forward_steps=args.steps, forward_steps_in_memory=args.window,
         n_ensemble=1, n_repeats=args.steps // args.window + 2,
+        targets_dtype=args.targets_dtype,
     )
     # warmup compile (window program + fused aggregator reduce) outside timing
     run_inference(
         stepper, src,
         InferenceConfig(n_forward_steps=args.window,
-                        forward_steps_in_memory=args.window, n_repeats=3),
+                        forward_steps_in_memory=args.window, n_repeats=3,
+                        targets_dtype=args.targets_dtype),
         aggregator=InferenceAggregator(
             list(stepper.exp.out_packer.names),
             src.horizontal.area_weights(), log_zonal_mean_images=True),
@@ -160,6 +168,7 @@ def main(argv=None):
             "scan_layers": args.scan_layers, "peel_sampler": args.peel,
             "fast": bool(args.fast), "dtype": args.dtype,
             "preds_dtype": args.preds_dtype,
+            "targets_dtype": args.targets_dtype,
             "note": "random-init weights; production-path evidence "
                     "(throughput, host fractions, aggregator) — trained-model "
                     "stability lives in results/stability_10yr/",

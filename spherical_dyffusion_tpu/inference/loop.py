@@ -94,6 +94,18 @@ class InferenceConfig:
     # inside it while single-member window 96 is untouched.
     auto_window_cap: bool = True
     hbm_budget_gb: float = 4.5
+    # dtype of the pre-uploaded TARGET windows the device-resident aggregator
+    # reduces against. "bfloat16" halves (a) per-window upload bytes through
+    # the tunnel, (b) HBM residency of every upload-cache slot (f32 targets
+    # are ~871 MB/window at window 96, paper geometry — the dominant term in
+    # the window-96 + consumer RESOURCE_EXHAUSTED), and (c) the ~0.4 GB host
+    # RAM the axon client pins per device_put. The aggregator's fused reduce
+    # upcasts to f32 on device (aggregators.py record_batch), so the only
+    # effect on metrics is bf16 quantization of the truth values (~3 decimal
+    # digits); predictions' own emit dtype is a separate knob
+    # (DYffusionStepper.preds_dtype). Keep "float32" for metric-precision
+    # studies.
+    targets_dtype: str = "float32"
 
     @property
     def start_indices(self) -> Tuple[int, ...]:
@@ -319,6 +331,19 @@ def run_inference(
     _CACHE_CAP = int(cfg.upload_cache_entries)
     _cache_skips = [0]  # windows whose key did not fit in the cache
 
+    if cfg.targets_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"InferenceConfig.targets_dtype must be 'float32' or 'bfloat16', "
+            f"got {cfg.targets_dtype!r}")
+    _tgt_np_dtype = (np.dtype("float32") if cfg.targets_dtype == "float32"
+                     else jnp.bfloat16.dtype)  # numpy-compatible via ml_dtypes
+
+    def _cast_targets(arr):
+        # cast on the HOST so the device_put itself moves half the bytes
+        # (and pins half the leaked client RAM); a device-side cast would
+        # transfer f32 first
+        return arr if arr.dtype == _tgt_np_dtype else arr.astype(_tgt_np_dtype)
+
     def _wkey(start_step: int, length: int):
         if cfg.n_repeats <= 1:
             return None  # no reuse possible; don't occupy cache slots
@@ -336,11 +361,11 @@ def run_inference(
                     tgt_dev = hit
                 else:
                     tgt_dev = [
-                        jax.device_put(np.stack(
+                        jax.device_put(_cast_targets(np.stack(
                             [_ic_view(data[n])[ic, 1 : n_avail + 1]
                              for n in out_names],
                             axis=-1,
-                        ))
+                        )))
                         for ic in range(n_ic)
                     ]
                     if key is not None:

@@ -535,6 +535,48 @@ def test_preds_dtype_bf16_full_product_path(tmp_path):
         assert np.isfinite(f["var_0"][()]).all()
 
 
+def test_targets_dtype_bf16_halves_upload_and_matches_f32():
+    """InferenceConfig.targets_dtype='bfloat16': the pre-uploaded target
+    windows the device aggregator reduces against ride bf16 (half the
+    upload bytes / HBM residency / per-upload client-RAM pin), the fused
+    reduce upcasts on device, and metrics match the f32-target run to bf16
+    truth quantization."""
+    HORIZON = 4
+    dm = DebugDataModule(channels=2, height=8, width=16, horizon=HORIZON,
+                         n_forcing=1, batch_size=8, n_timesteps=64)
+    exp, params = _train_tiny_dyffusion(dm, HORIZON)
+    src = dm._src
+
+    def product(targets_dtype):
+        stepper = DYffusionStepper(exp, params)
+        agg = InferenceAggregator(list(dm.cfg.out_names),
+                                  dm.grid.horizontal.area_weights())
+        # n_repeats > 1 exercises the upload-cache path for the cast targets
+        run_inference(stepper, src,
+                      InferenceConfig(n_forward_steps=24,
+                                      forward_steps_in_memory=8,
+                                      n_repeats=2,
+                                      targets_dtype=targets_dtype),
+                      aggregator=agg, verbose=False)
+        return agg.get_logs()
+
+    logs16 = product("bfloat16")
+    logs32 = product("float32")
+    assert np.isfinite(logs16["inference/avg/rmse"])
+    assert logs16["inference/avg/rmse"] == pytest.approx(
+        logs32["inference/avg/rmse"], rel=0.02)
+    assert logs16["inference/time_mean/rmse/var_0"] == pytest.approx(
+        logs32["inference/time_mean/rmse/var_0"], rel=0.02)
+    with pytest.raises(ValueError, match="targets_dtype"):
+        run_inference(
+            DYffusionStepper(exp, params), src,
+            InferenceConfig(n_forward_steps=8, forward_steps_in_memory=8,
+                            targets_dtype="float16"),
+            aggregator=InferenceAggregator(
+                list(dm.cfg.out_names), dm.grid.horizontal.area_weights()),
+            verbose=False)
+
+
 def test_capped_window_heuristic():
     from spherical_dyffusion_tpu.inference.loop import capped_window
 
