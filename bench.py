@@ -211,9 +211,15 @@ def product_bench(stepper, window, total_steps, n_ensemble, embed, layers):
         n_timesteps=window, spatial_shape=(180, 360),
     )
     n_steps = max(2 * window, total_steps)
+    # BENCH_TGT_DTYPE=bfloat16: bf16 target uploads (halved upload bytes +
+    # HBM residency per cache slot; aggregator upcasts on device — see
+    # InferenceConfig.targets_dtype). Unlocks consumer configs whose f32
+    # targets OOM (ensembles / window > 48).
+    tgt_dtype = os.environ.get("BENCH_TGT_DTYPE", "float32")
     icfg = InferenceConfig(
         n_forward_steps=n_steps, forward_steps_in_memory=window,
         n_ensemble=n_ensemble, n_repeats=n_steps // window + 2,
+        targets_dtype=tgt_dtype,
     )
     agg = InferenceAggregator(names, src.horizontal.area_weights(),
                               log_zonal_mean_images=True)
@@ -222,7 +228,8 @@ def product_bench(stepper, window, total_steps, n_ensemble, embed, layers):
     run_inference(
         stepper, src,
         InferenceConfig(n_forward_steps=window, forward_steps_in_memory=window,
-                        n_ensemble=n_ensemble, n_repeats=3),
+                        n_ensemble=n_ensemble, n_repeats=3,
+                        targets_dtype=tgt_dtype),
         aggregator=InferenceAggregator(names, src.horizontal.area_weights(),
                                        log_zonal_mean_images=True),
         mask_name="ocean_fraction", verbose=False,
